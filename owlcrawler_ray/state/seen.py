@@ -1,0 +1,253 @@
+"""Sharded URL-seen set: cuckoo filter (bloom fallback) + exact overlay.
+
+Replaces the reference's "seen = a CouchDB document exists" check
+(couchdb/couchdb.go:254-280), which costs one HTTP HEAD per candidate link
+per occurrence. Here membership is a batched RPC to ``num_shards`` Ray
+actors, shard = blake2b64(url) % num_shards; each shard holds
+
+  * a CUCKOO FILTER (numpy-backed, 4-slot buckets, 16-bit fingerprints,
+    deletable) — the approximate, O(1)-memory-per-key scale path;
+  * an EXACT url set — the parity authority (the north rule requires the
+    final seen set to match the reference exactly; a filter false positive
+    would silently skip a URL). At 10^10-URL scale the exact set becomes
+    per-shard sorted parquet runs consulted only on filter *positives*
+    (~(1+fp_rate) disk probes per hit); in-sandbox it is in-memory.
+
+Dedup timing parity (SURVEY.md §2.3 F1): the filter answers the ADVISORY
+discovery-time check; ``test_and_set_many`` is the AUTHORITATIVE
+admission/commit check — atomic per shard, so the reference's
+HEAD-then-PUT race (fetcher.go:96 -> couchdb.go:164-166, 409 = first
+writer wins) cannot occur at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.ids import url_hash64_many
+
+_EMPTY = np.uint16(0)
+_MAX_KICKS = 500
+
+
+class CuckooFilter:
+    """Deterministic cuckoo filter over uint64 key hashes.
+
+    buckets: (nb, 4) uint16 fingerprints, 0 = empty. fp = top 16 bits of the
+    key hash (0 remapped to 1). i1 = h & mask, i2 = i1 ^ mix(fp). Eviction
+    choice is a deterministic LCG so identical insert sequences produce
+    identical filter state (required for byte-identical checkpoint resume,
+    SURVEY.md §7 "what's hard" (f))."""
+
+    def __init__(self, capacity: int):
+        nb = 1
+        while nb * 4 < capacity * 1.3:  # ~0.77 max load with headroom
+            nb *= 2
+        self.nb = nb
+        self.mask = np.uint64(nb - 1)
+        self.buckets = np.zeros((nb, 4), dtype=np.uint16)
+        self.count = 0
+        self._lcg = np.uint64(0x9E3779B97F4A7C15)
+
+    # -- hashing helpers ------------------------------------------------
+    def _fp(self, h: np.ndarray) -> np.ndarray:
+        fp = (h >> np.uint64(48)).astype(np.uint16)
+        fp[fp == 0] = 1
+        return fp
+
+    def _i1(self, h: np.ndarray) -> np.ndarray:
+        return (h & self.mask).astype(np.int64)
+
+    def _i2(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        mix = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) & self.mask
+        return (i1.astype(np.uint64) ^ mix).astype(np.int64) & (self.nb - 1)
+
+    # -- vectorized membership ------------------------------------------
+    def contains_many(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        h = hashes.astype(np.uint64)
+        fp = self._fp(h)
+        i1 = self._i1(h)
+        i2 = self._i2(i1, fp)
+        b1 = self.buckets[i1]  # (n, 4)
+        b2 = self.buckets[i2]
+        fpc = fp[:, None]
+        return ((b1 == fpc).any(axis=1)) | ((b2 == fpc).any(axis=1))
+
+    # -- mutation (python loop; insert volume per round is modest) -------
+    def insert(self, h: int) -> bool:
+        ha = np.array([h], dtype=np.uint64)
+        fp = int(self._fp(ha)[0])
+        i1 = int(self._i1(ha)[0])
+        i2 = int(self._i2(np.array([i1]), np.array([fp], dtype=np.uint16))[0])
+        for i in (i1, i2):
+            row = self.buckets[i]
+            empt = np.where(row == _EMPTY)[0]
+            if len(empt):
+                row[empt[0]] = fp
+                self.count += 1
+                return True
+        i = i1
+        cur = np.uint16(fp)
+        for _ in range(_MAX_KICKS):
+            self._lcg = (
+                self._lcg * np.uint64(6364136223846793005) + np.uint64(1442695040888963407)
+            )
+            slot = int(self._lcg >> np.uint64(61)) & 3
+            cur, self.buckets[i][slot] = self.buckets[i][slot], cur
+            i = int(
+                self._i2(np.array([i]), np.array([cur], dtype=np.uint16))[0]
+            )
+            row = self.buckets[i]
+            empt = np.where(row == _EMPTY)[0]
+            if len(empt):
+                row[empt[0]] = cur
+                self.count += 1
+                return True
+        return False  # table over-full; caller falls back to exact set only
+
+    def delete(self, h: int) -> bool:
+        ha = np.array([h], dtype=np.uint64)
+        fp = np.uint16(self._fp(ha)[0])
+        i1 = int(self._i1(ha)[0])
+        i2 = int(self._i2(np.array([i1]), np.array([fp]))[0])
+        for i in (i1, i2):
+            row = self.buckets[i]
+            hit = np.where(row == fp)[0]
+            if len(hit):
+                row[hit[0]] = _EMPTY
+                self.count -= 1
+                return True
+        return False
+
+    def state(self) -> dict:
+        return {
+            "nb": self.nb,
+            "buckets": self.buckets.copy(),
+            "count": self.count,
+            "lcg": int(self._lcg),
+        }
+
+    def restore(self, st: dict) -> None:
+        self.nb = st["nb"]
+        self.mask = np.uint64(self.nb - 1)
+        self.buckets = st["buckets"].copy()
+        self.count = st["count"]
+        self._lcg = np.uint64(st["lcg"])
+
+
+class BloomFilter:
+    """Fallback approximate-membership sketch (no deletes)."""
+
+    def __init__(self, capacity: int, fp_rate: float = 0.01):
+        import math
+
+        m = max(64, int(-capacity * math.log(fp_rate) / (math.log(2) ** 2)))
+        self.m = 1 << (m - 1).bit_length()
+        self.k = max(1, int(round(self.m / max(capacity, 1) * math.log(2))))
+        self.bits = np.zeros(self.m // 64, dtype=np.uint64)
+
+    def _idx(self, hashes: np.ndarray) -> np.ndarray:
+        h = hashes.astype(np.uint64)
+        out = []
+        h1 = h
+        h2 = h * np.uint64(0xFF51AFD7ED558CCD) + np.uint64(1)
+        for i in range(self.k):
+            out.append((h1 + np.uint64(i) * h2) & np.uint64(self.m - 1))
+        return np.stack(out, axis=1)  # (n, k)
+
+    def add_many(self, hashes: np.ndarray) -> None:
+        if not len(hashes):
+            return
+        idx = self._idx(hashes).ravel()
+        np.bitwise_or.at(
+            self.bits, (idx >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (idx & np.uint64(63)),
+        )
+
+    def contains_many(self, hashes: np.ndarray) -> np.ndarray:
+        if not len(hashes):
+            return np.zeros(0, dtype=bool)
+        idx = self._idx(hashes)
+        words = self.bits[(idx >> np.uint64(6)).astype(np.int64)]
+        hit = (words >> (idx & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=1).astype(bool)
+
+
+class SeenShard:
+    """One shard of the URL-seen set. Instantiated as a Ray actor by the
+    crawl pipeline (plain class here so unit tests run it in-process)."""
+
+    def __init__(self, shard_id: int, capacity: int = 1 << 16,
+                 exact: bool = True, use_cuckoo: bool = True):
+        self.shard_id = shard_id
+        self.exact_enabled = exact
+        self.urls: set[str] = set()
+        self.filter = CuckooFilter(capacity) if use_cuckoo else BloomFilter(capacity)
+        self.deletable = use_cuckoo
+
+    def contains_many(self, urls: list[str]) -> np.ndarray:
+        if self.exact_enabled:
+            return np.fromiter(
+                (u in self.urls for u in urls), dtype=bool, count=len(urls)
+            )
+        return self.filter.contains_many(url_hash64_many(urls))
+
+    def add_many(self, urls: list[str]) -> int:
+        added = 0
+        hs = url_hash64_many(urls)
+        for u, h in zip(urls, hs):
+            if u in self.urls:
+                continue
+            self.urls.add(u)
+            added += 1
+            if self.deletable:
+                self.filter.insert(int(h))
+        if not self.deletable:
+            self.filter.add_many(hs)
+        return added
+
+    def test_and_set_many(self, urls: list[str]) -> np.ndarray:
+        """True = newly inserted (the 409-equivalent boolean mask)."""
+        out = np.zeros(len(urls), dtype=bool)
+        hs = url_hash64_many(urls)
+        for i, (u, h) in enumerate(zip(urls, hs)):
+            if u not in self.urls:
+                self.urls.add(u)
+                if self.deletable:
+                    self.filter.insert(int(h))
+                out[i] = True
+        return out
+
+    def remove_many(self, urls: list[str]) -> int:
+        removed = 0
+        hs = url_hash64_many(urls)
+        for u, h in zip(urls, hs):
+            if u in self.urls:
+                self.urls.discard(u)
+                removed += 1
+                if self.deletable:
+                    self.filter.delete(int(h))
+        return removed
+
+    def size(self) -> int:
+        return len(self.urls)
+
+    def snapshot(self) -> pa.Table:
+        urls = sorted(self.urls)
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "url_hash": pa.array(url_hash64_many(urls), type=pa.uint64()),
+            }
+        )
+
+    def restore(self, table: pa.Table) -> int:
+        self.urls = set()
+        cap = max(1 << 10, table.num_rows * 2)
+        self.filter = (
+            CuckooFilter(cap) if self.deletable else BloomFilter(cap)
+        )
+        return self.add_many(table.column("url").to_pylist())

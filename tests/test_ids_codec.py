@@ -1,0 +1,82 @@
+import base64
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from owlcrawler_ray.functions import codec, ids
+
+
+def test_doc_id_matches_go_urlencoding():
+    # Go base64.URLEncoding keeps padding; spot values precomputed
+    assert ids.doc_id("http://a.test/") == base64.urlsafe_b64encode(
+        b"http://a.test/"
+    ).decode()
+    assert ids.doc_id("http://a.test/") == "aHR0cDovL2EudGVzdC8="
+    assert ids.seed_doc_id("x") == "site-eA=="
+
+
+@given(st.text(min_size=0, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_doc_id_roundtrip(url):
+    assert ids.decode_doc_id(ids.doc_id(url)) == url
+    assert ids.decode_doc_id(ids.seed_doc_id(url)) == url
+
+
+def test_url_hash_stable_and_batch_consistent():
+    urls = [f"http://h{i}.test/p{i}" for i in range(100)]
+    batch = ids.url_hash64_many(urls)
+    assert batch.dtype == np.uint64
+    for i in (0, 17, 99):
+        assert int(batch[i]) == ids.url_hash64(urls[i])
+    assert ids.url_hash64("http://a.test/") == ids.url_hash64("http://a.test/")
+    assert ids.url_hash64("a") != ids.url_hash64("b")
+
+
+def test_canonicalize_identity_in_parity_mode():
+    u = "HTTP://Host.TEST:80/Path?q=1#frag"
+    assert ids.canonicalize(u) == u
+    assert ids.canonicalize(u, enabled=True) == "http://host.test/Path?q=1"
+
+
+@pytest.mark.parametrize("fmt", ["png", "jpeg", "webp"])
+def test_codec_roundtrip_and_psnr(fmt):
+    pix = codec.synth_pixels("img-1", 64, 48)
+    assert pix.shape == (48, 64, 3)
+    buf = codec.encode(pix, fmt)
+    out, got_fmt, w, h = codec.decode(buf)
+    assert (got_fmt, w, h) == (fmt, 64, 48)
+    assert out.shape == pix.shape
+    if fmt == "png":
+        assert np.array_equal(out, pix)
+    else:
+        p = codec.psnr(pix, out)
+        assert p >= 40.0, f"{fmt} PSNR {p} below the 40dB invariant"
+
+
+def test_synth_pixels_deterministic():
+    a = codec.synth_pixels("same-id", 32, 32)
+    b = codec.synth_pixels("same-id", 32, 32)
+    c = codec.synth_pixels("other-id", 32, 32)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_phash_properties():
+    a = codec.synth_pixels("ph-1", 64, 64)
+    h1 = codec.phash64(a)
+    assert np.iinfo(np.int64).min <= h1 <= np.iinfo(np.int64).max
+    # identical image -> identical hash
+    assert codec.phash64(a.copy()) == h1
+    # lossy re-encode -> small hamming distance
+    lossy, *_ = codec.decode(codec.encode(a, "jpeg"))
+    assert codec.hamming64(h1, codec.phash64(lossy)) <= 6
+    # different image -> large distance
+    b = codec.synth_pixels("ph-2", 64, 64)
+    assert codec.hamming64(h1, codec.phash64(b)) > 10
+
+
+def test_decode_rejects_foreign_bytes():
+    with pytest.raises(ValueError):
+        codec.decode(b"\x89PNG\r\n\x1a\nnotours")

@@ -1,0 +1,130 @@
+import numpy as np
+import pyarrow as pa
+
+from owlcrawler_ray.functions.ids import url_hash64_many
+from owlcrawler_ray.state.frontier import FrontierShard, entries_table
+from owlcrawler_ray.state.politeness import PolitenessConfig, PolitenessGate
+from owlcrawler_ray.state.seen import BloomFilter, CuckooFilter, SeenShard
+
+URLS = [f"http://h{i % 7}.test/p{i}" for i in range(500)]
+
+
+def test_cuckoo_insert_contains_delete():
+    f = CuckooFilter(1000)
+    hs = url_hash64_many(URLS)
+    for h in hs:
+        assert f.insert(int(h))
+    assert f.contains_many(hs).all()
+    other = url_hash64_many([u + "?x" for u in URLS])
+    fp = f.contains_many(other).mean()
+    assert fp < 0.05, f"false-positive rate {fp} too high"
+    for h in hs[:100]:
+        assert f.delete(int(h))
+    assert not f.contains_many(hs[:100]).all()
+    assert f.contains_many(hs[100:]).all()
+
+
+def test_cuckoo_state_roundtrip_deterministic():
+    f1, f2 = CuckooFilter(256), CuckooFilter(256)
+    hs = url_hash64_many(URLS[:200])
+    for h in hs:
+        f1.insert(int(h))
+        f2.insert(int(h))
+    assert np.array_equal(f1.buckets, f2.buckets)  # identical insert order
+    f3 = CuckooFilter(256)
+    f3.restore(f1.state())
+    assert np.array_equal(f3.buckets, f1.buckets)
+    assert f3.contains_many(hs).all()
+
+
+def test_bloom_filter():
+    b = BloomFilter(1000, fp_rate=0.01)
+    hs = url_hash64_many(URLS)
+    b.add_many(hs)
+    assert b.contains_many(hs).all()
+    other = url_hash64_many([u + "?y" for u in URLS])
+    assert b.contains_many(other).mean() < 0.05
+
+
+def test_seen_shard_test_and_set():
+    s = SeenShard(0)
+    first = s.test_and_set_many(URLS[:10])
+    assert first.all()
+    again = s.test_and_set_many(URLS[:10])
+    assert not again.any()
+    mixed = s.test_and_set_many(URLS[5:15])
+    assert list(mixed) == [False] * 5 + [True] * 5
+    assert s.size() == 15
+    assert s.contains_many(URLS[:15]).all()
+    assert not s.contains_many(URLS[15:20]).any()
+
+
+def test_seen_shard_remove_and_snapshot():
+    s = SeenShard(0)
+    s.add_many(URLS[:50])
+    s.remove_many(URLS[:10])
+    assert s.size() == 40
+    snap = s.snapshot()
+    s2 = SeenShard(0)
+    s2.restore(snap)
+    assert s2.size() == 40
+    assert not s2.contains_many(URLS[:10]).any()
+    assert s2.contains_many(URLS[10:50]).all()
+
+
+def test_frontier_order_and_lazy_delete():
+    f = FrontierShard(0)
+    t = entries_table(
+        ["u3", "u1", "u2", "u1dup"], ["h", "h", "h", "h"],
+        [0, 0, 0, 0], [0.0, 0.0, 0.0, 0.0], [3, 1, 2, 5],
+    )
+    f.push_table(t)
+    assert f.size() == 4
+    top = f.peek(2)
+    assert top.column("discovered_seq").to_pylist() == [1, 2]
+    f.remove_seqs([1, 2])
+    assert f.size() == 2
+    top = f.peek(10)
+    assert top.column("discovered_seq").to_pylist() == [3, 5]
+    # priority beats seq when set
+    f.push_table(entries_table(["hot"], ["h"], [0], [-1.0], [99]))
+    assert f.peek(1).column("url").to_pylist() == ["hot"]
+
+
+def test_frontier_snapshot_roundtrip():
+    f = FrontierShard(0)
+    f.push_table(entries_table(
+        ["a", "b", "c"], ["h1", "h2", "h1"], [0, 1, 2],
+        [0.0, 0.0, 0.0], [10, 11, 12]))
+    f.remove_seqs([11])
+    f2 = FrontierShard(0)
+    f2.restore(f.snapshot())
+    assert f2.size() == 2
+    assert f2.peek(10).column("url").to_pylist() == ["a", "c"]
+
+
+def test_politeness_parity_mode_noop_robots():
+    g = PolitenessGate(PolitenessConfig())
+    assert g.allowed("http://any.test/private/x")
+
+
+def test_politeness_robots_rules():
+    g = PolitenessGate(PolitenessConfig(
+        disallow={"h1.test": ["/private/"], "*": ["/admin/"]}))
+    assert not g.allowed("http://h1.test/private/a")
+    assert g.allowed("http://h2.test/private/a")
+    assert not g.allowed("http://h2.test/admin/a")
+    assert g.allowed_many(["http://h1.test/ok", "http://h1.test/private/no"]) == [
+        True, False]
+
+
+def test_politeness_token_bucket():
+    g = PolitenessGate(PolitenessConfig(mode="polite", rate_per_s=1.0, burst=3.0))
+    assert g.admit_budget("h.test", 10, now_s=0.0) == 3  # burst
+    assert g.admit_budget("h.test", 10, now_s=0.0) == 0  # drained
+    assert g.admit_budget("h.test", 10, now_s=5.0) == 3  # refilled, capped
+    assert g.admit_budget("h.test", 1, now_s=6.0) == 1
+    st = g.state()
+    g2 = PolitenessGate(PolitenessConfig(mode="polite", rate_per_s=1.0, burst=3.0))
+    g2.restore(st)
+    assert g2.admit_budget("h.test", 10, now_s=6.0) == 0
