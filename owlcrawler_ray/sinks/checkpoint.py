@@ -1,0 +1,92 @@
+"""Per-round crawl checkpoint: frontier + seen shards + counters + lineage.
+
+The reference's "checkpoint" is implicit and lossy: CouchDB survives
+restarts so fetched pages aren't refetched, but in-flight NATS messages
+are dropped (at-most-once, SURVEY.md §2.10) — a crash loses queued URLs.
+Here every round commits a full, consistent snapshot:
+
+    ckpt/round=000042/
+        frontier_shard_0000.parquet ...   (every queued occurrence, seq order)
+        seen_shard_0000.parquet ...       (url + url_hash per shard)
+        manifest.json                     <- written LAST = the commit point
+
+manifest.json carries counters (next_seq, tick, fetch_seq), per-round
+metrics (attempts, successes, new links, per-host fetch counts), config
+fingerprint, and lineage (which pages/images round dirs this state
+produced). Resume = restore from the highest round whose manifest parses;
+pages/images rounds after that point are discarded (their ``_SUCCESS`` is
+removed) so the resumed run re-produces them byte-identically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+class CheckpointManager:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, round_id: int) -> str:
+        return os.path.join(self.root, f"round={round_id:06d}")
+
+    def save(self, round_id: int, frontier_shards: list[pa.Table],
+             seen_shards: list[pa.Table], manifest: dict) -> str:
+        d = self._dir(round_id)
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(tmp)
+        for i, t in enumerate(frontier_shards):
+            pq.write_table(t, os.path.join(tmp, f"frontier_shard_{i:04d}.parquet"))
+        for i, t in enumerate(seen_shards):
+            pq.write_table(t, os.path.join(tmp, f"seen_shard_{i:04d}.parquet"))
+        os.rename(tmp, d)
+        # manifest written last, atomically: its presence commits the round
+        mpath = os.path.join(d, "manifest.json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump({"round": round_id, **manifest}, f, indent=1, sort_keys=True)
+        os.rename(mpath + ".tmp", mpath)
+        return d
+
+    def latest_round(self) -> int | None:
+        if not os.path.isdir(self.root):
+            return None
+        best = None
+        for name in os.listdir(self.root):
+            if not name.startswith("round=") or name.endswith(".tmp"):
+                continue
+            mpath = os.path.join(self.root, name, "manifest.json")
+            try:
+                with open(mpath) as f:
+                    m = json.load(f)
+                r = int(m["round"])
+                best = r if best is None else max(best, r)
+            except (OSError, ValueError, KeyError):
+                continue  # partial/corrupt round: not committed
+        return best
+
+    def load(self, round_id: int) -> tuple[list[pa.Table], list[pa.Table], dict]:
+        d = self._dir(round_id)
+        with open(os.path.join(d, "manifest.json")) as f:
+            manifest = json.load(f)
+        frontier, seen = [], []
+        i = 0
+        while os.path.exists(os.path.join(d, f"frontier_shard_{i:04d}.parquet")):
+            frontier.append(
+                pq.read_table(os.path.join(d, f"frontier_shard_{i:04d}.parquet"))
+            )
+            i += 1
+        i = 0
+        while os.path.exists(os.path.join(d, f"seen_shard_{i:04d}.parquet")):
+            seen.append(
+                pq.read_table(os.path.join(d, f"seen_shard_{i:04d}.parquet"))
+            )
+            i += 1
+        return frontier, seen, manifest

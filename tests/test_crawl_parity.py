@@ -1,0 +1,140 @@
+"""End-to-end parity: the Ray crawl must reproduce the serial oracle's
+attempt log, fetch order, seen set, page extraction and image emission —
+at any budget chunking (north-rule ordering/URL-seen parity)."""
+
+import shutil
+
+import pytest
+
+from owlcrawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+from owlcrawler_ray.pipelines.oracle import run_oracle
+from owlcrawler_ray.sources.corpus import SyntheticWeb, WebConfig
+
+SMALL_WEB = WebConfig(num_hosts=4, base_pages=6, hot_factor=3, n_seed_hosts=2)
+
+
+def _crawl(tmp_base, budget, **kw):
+    shutil.rmtree(tmp_base, ignore_errors=True)
+    cfg = CrawlConfig(
+        web=SMALL_WEB,
+        budget_per_round=budget,
+        out_dir=f"{tmp_base}/out",
+        ckpt_dir=f"{tmp_base}/ckpt",
+        fetch_concurrency=2,
+        image_concurrency=1,
+        **kw,
+    )
+    c, summary = run_crawl(cfg)
+    try:
+        yield_data = {
+            "summary": summary,
+            "attempts": [
+                (a["tick"], a["url"], a["status"])
+                for a in c.attempts_table().sort_by("tick").to_pylist()
+            ],
+            "order": [
+                f["url"] for f in sorted(c.fetch_log, key=lambda f: f["fetch_seq"])
+            ],
+            "pages": {p["url"]: p for p in c.pages_table().to_pylist()},
+            "images": [
+                (i["image_id"], i["caption"], i["fmt"], i["w"], i["h"])
+                for i in sorted(
+                    c.images_table().to_pylist(),
+                    key=lambda r: (r["tick"], r["img_idx"]),
+                )
+            ],
+        }
+    finally:
+        c.shutdown()
+    return yield_data
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return run_oracle(SyntheticWeb(SMALL_WEB))
+
+
+@pytest.mark.parametrize("budget", [7, 1000])
+def test_parity_at_budget(ray_session, tmp_path, oracle, budget):
+    got = _crawl(str(tmp_path / f"b{budget}"), budget)
+    want_attempts = [
+        (a["tick"], a["url"], a["status"]) for a in oracle.attempts
+    ]
+    assert got["attempts"] == want_attempts
+    assert got["order"] == oracle.fetch_order
+    assert set(got["pages"]) == oracle.seen
+    for url, want in oracle.pages.items():
+        p = got["pages"][url]
+        assert p["doc_id"] == want["doc_id"]
+        for k in ("title", "h1", "h2", "h3", "h4", "text", "links",
+                  "links_to_queue"):
+            assert p[k] == want[k], f"{url} field {k}"
+        assert p["fetch_seq"] == want["fetch_seq"]
+    want_imgs = [(i["image_id"], i["caption"]) for i in oracle.images]
+    assert [(i[0], i[1]) for i in got["images"]] == want_imgs
+
+
+def test_virtual_clock_and_timestamps(ray_session, tmp_path, oracle):
+    got = _crawl(str(tmp_path / "clock"), 16)
+    # virtual_time = 5 s per attempt tick, monotone over the whole crawl
+    by_url = {p["url"]: p for p in got["pages"].values()}
+    want_vt = {f["url"]: f["virtual_time_s"] for f in oracle.fetch_log}
+    for url, vt in want_vt.items():
+        assert by_url[url]["virtual_time_s"] == vt
+        assert by_url[url]["fetched_on"] == by_url[url]["parsed_on"]
+
+
+def test_polite_mode_terminates_and_dedups(ray_session, tmp_path):
+    import shutil as _sh
+
+    base = str(tmp_path / "polite")
+    _sh.rmtree(base, ignore_errors=True)
+    from owlcrawler_ray.state.politeness import PolitenessConfig
+
+    cfg = CrawlConfig(
+        web=SMALL_WEB,
+        mode="polite",
+        budget_per_round=32,
+        politeness=PolitenessConfig(mode="polite", rate_per_s=2.0, burst=8.0),
+        out_dir=f"{base}/out",
+        ckpt_dir=f"{base}/ckpt",
+        fetch_concurrency=2,
+        image_concurrency=1,
+        max_rounds=200,
+    )
+    c, summary = run_crawl(cfg)
+    try:
+        pages = c.pages_table().to_pylist()
+        urls = [p["url"] for p in pages]
+        assert len(urls) == len(set(urls))  # no double fetch
+        # polite mode reaches the same page SET as the serial semantics
+        oracle = run_oracle(SyntheticWeb(SMALL_WEB))
+        assert set(urls) == oracle.seen
+    finally:
+        c.shutdown()
+
+
+def test_robots_disallow_respected(ray_session, tmp_path):
+    from owlcrawler_ray.state.politeness import PolitenessConfig
+
+    base = str(tmp_path / "robots")
+    cfg = CrawlConfig(
+        web=SMALL_WEB,
+        mode="polite",
+        politeness=PolitenessConfig(
+            mode="polite", rate_per_s=5.0, burst=16.0,
+            disallow={"host-1.test": ["/page-"]},
+        ),
+        out_dir=f"{base}/out",
+        ckpt_dir=f"{base}/ckpt",
+        fetch_concurrency=2,
+        image_concurrency=1,
+        max_rounds=100,
+    )
+    c, _ = run_crawl(cfg)
+    try:
+        urls = [p["url"] for p in c.pages_table().to_pylist()]
+        assert not any(u.startswith("http://host-1.test/page-") for u in urls)
+        assert "http://host-1.test/" in urls  # root itself is allowed
+    finally:
+        c.shutdown()
