@@ -1,0 +1,114 @@
+"""Text-analysis kernels for training-data pipelines: SimHash, rolling-hash
+document fingerprints, n-gram language ID, token counting.
+
+All deterministic (md5/blake2b-based — no Python hash()), all designed to
+run vectorized-per-batch inside map_batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+# tiny stopword inventories for the n-gram/stopword language heuristic
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "por", "con", "los"},
+    "de": {"der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"},
+    "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"},
+    "zh": set(),  # handled by the CJK-codepoint ratio below
+}
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word unigrams weighted by count; md5-based so it
+    is stable across runs/processes. Returns SIGNED int64."""
+    counts: dict[str, int] = {}
+    for w in text.split(" "):
+        if w:
+            counts[w] = counts.get(w, 0) + 1
+    if not counts:
+        return 0
+    votes = np.zeros(64, dtype=np.int64)
+    for w, c in counts.items():
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        votes += np.where(bits.astype(bool), c, -c)
+    val = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            val |= np.uint64(1) << np.uint64(i)
+    return int(np.int64(val))
+
+
+_B = 1000003
+_M = (1 << 61) - 1
+
+
+def fingerprints(text: str, window: int = 8) -> list[int]:
+    """Rabin-Karp rolling-hash fingerprints over word windows (winnowing
+    basis for copy detection). Deterministic; one hash per window."""
+    ws = [w for w in text.split(" ") if w]
+    if not ws:
+        return []
+    hs = [
+        int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little") % _M
+        for w in ws
+    ]
+    if len(hs) <= window:
+        val = 0
+        for h in hs:
+            val = (val * _B + h) % _M
+        return [val]
+    out = []
+    power = pow(_B, window - 1, _M)
+    val = 0
+    for h in hs[:window]:
+        val = (val * _B + h) % _M
+    out.append(val)
+    for i in range(window, len(hs)):
+        val = ((val - hs[i - window] * power) * _B + hs[i]) % _M
+        out.append(val)
+    return out
+
+
+def min_fingerprint(text: str, window: int = 8) -> int:
+    fps = fingerprints(text, window)
+    return min(fps) if fps else -1
+
+
+def predict_lang(text: str) -> str:
+    """Stopword/CJK-ratio language heuristic. On word-salad synthetic text
+    this degrades to 'unknown' — the honest answer; the pipeline shape
+    (stateless scoring stage) is what carries to real corpora."""
+    if not text:
+        return "unknown"
+    cjk = sum(1 for ch in text[:400] if "一" <= ch <= "鿿")
+    if cjk / max(len(text[:400]), 1) > 0.1:
+        return "zh"
+    words = [w.lower() for w in _WORD_RE.findall(text[:2000])]
+    if not words:
+        return "unknown"
+    best, best_score = "unknown", 0.0
+    wset = words[:500]
+    for lang, markers in _LANG_MARKERS.items():
+        if not markers:
+            continue
+        score = sum(1 for w in wset if w in markers) / len(wset)
+        if score > best_score:
+            best, best_score = lang, score
+    return best if best_score >= 0.05 else "unknown"
+
+
+def hamming64_many(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized hamming distance between two int64 arrays."""
+    x = (a.astype(np.int64).view(np.uint64)) ^ (b.astype(np.int64).view(np.uint64))
+    cnt = np.zeros(len(x), dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return cnt

@@ -1,0 +1,83 @@
+"""Deterministic generator for the BASELINE.json input_hint table:
+(image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+ caption:string, phash:int64).
+
+Used as the input side for the image-processing queries (decode
+validation, phash near-dup detection) and by tests. Scale parameter n;
+``with_near_dups`` adds lossy re-encodes of the first k images under new
+ids so near-dup detection has deterministic positives.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import codec, ids
+
+_FMTS = ("png", "jpeg", "webp")
+_DIMS = ((32, 32), (48, 32), (64, 48), (96, 64))
+
+SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+
+def make_images_table(n: int, with_near_dups: int = 0) -> pa.Table:
+    rows = {k: [] for k in
+            ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
+
+    def add(img_url: str, fmt: str, w: int, h: int, caption: str,
+            base_pixels: np.ndarray | None = None):
+        iid = ids.doc_id(img_url)
+        pix = base_pixels if base_pixels is not None else codec.synth_pixels(
+            iid, w, h
+        )
+        buf = codec.encode(pix, fmt)
+        dec, *_ = codec.decode(buf)
+        rows["image_id"].append(iid)
+        rows["bytes"].append(buf)
+        rows["w"].append(w)
+        rows["h"].append(h)
+        rows["fmt"].append(fmt)
+        rows["caption"].append(caption)
+        rows["phash"].append(codec.phash64(dec))
+        return pix
+
+    pixels = []
+    for i in range(n):
+        fmt = _FMTS[i % 3]
+        w, h = _DIMS[i % len(_DIMS)]
+        pix = add(
+            f"http://images.test/img-{i}.{fmt}", fmt, w, h,
+            f"synthetic image {i} caption",
+        )
+        pixels.append(pix)
+    for i in range(min(with_near_dups, n)):
+        # same pixels, different (lossy) encoding and id -> near-dup by phash
+        fmt = "jpeg" if _FMTS[i % 3] != "jpeg" else "webp"
+        w, h = _DIMS[i % len(_DIMS)]
+        add(
+            f"http://images.test/dup-{i}.{fmt}", fmt, w, h,
+            f"synthetic image {i} caption", base_pixels=pixels[i],
+        )
+    return pa.table(
+        {
+            "image_id": pa.array(rows["image_id"], pa.string()),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "w": pa.array(np.asarray(rows["w"], np.int32)),
+            "h": pa.array(np.asarray(rows["h"], np.int32)),
+            "fmt": pa.array(rows["fmt"], pa.string()),
+            "caption": pa.array(rows["caption"], pa.string()),
+            "phash": pa.array(np.asarray(rows["phash"], np.int64)),
+        },
+        schema=SCHEMA,
+    )

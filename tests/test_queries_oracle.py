@@ -1,0 +1,77 @@
+"""Driver-mirror correctness gate: every SQL-expressible operator runs as
+a Ray pipeline AND as its DuckDB oracle; results must match on row count,
+column names and (order-insensitively) values."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from owlcrawler_ray.pipelines.queries import ORACLES, QUERIES
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+def _to_pdf(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        df = res.to_pandas()
+    elif isinstance(res, pa.Table):
+        df = res.to_pandas()
+    else:
+        df = res
+    return df
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[ns]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(ray_session, con, name):
+    got = _normalize(_to_pdf(QUERIES[name](SF)))
+    want = _normalize(con.execute(ORACLES[name]).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name} columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name} rows {len(got)} != {len(want)}"
+    for c in got.columns:
+        if pd.api.types.is_float_dtype(want[c]):
+            np.testing.assert_allclose(
+                got[c].to_numpy(dtype=float), want[c].to_numpy(dtype=float),
+                rtol=1e-9, atol=1e-9, err_msg=f"{name}.{c}",
+            )
+        else:
+            pd.testing.assert_series_equal(
+                got[c], want[c], check_names=False, obj=f"{name}.{c}"
+            )
+
+
+def test_all_queries_have_callable(ray_session):
+    for name, fn in QUERIES.items():
+        assert callable(fn)
