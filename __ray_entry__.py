@@ -1,16 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry(): flagship pipeline — a parity-mode crawl over the deterministic
+synthetic web sized from the sf0.001 documents table, returning the
+crawled images Dataset in the BASELINE.json input_hint shape.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+queries(): one callable per implemented operator/pipeline (SURVEY.md §2 +
+the training-data graft ops); each takes sf_dir.
+
+oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query (18 of
+26); the rest (crawl loop, LSH-ANN, phash/simhash/fingerprint, image
+decode validation) are rows-only checks backed by pytest parity/recall
+tests instead.
+
+Ray is initialised by the DRIVER before importing this module — nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +21,50 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: corpus-backed crawl (fetch -> extract -> decode -> sink)
+    sized from sf0.001, returning the images table as a ray Dataset."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from owlcrawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from owlcrawler_ray.sources.corpus import WebConfig
+
+    n_docs = pq.read_metadata(f"{SF0001}/documents.parquet").num_rows
+    base_pages = max(4, n_docs // 8)
+    cfg = CrawlConfig(
+        web=WebConfig(num_hosts=4, base_pages=base_pages, hot_factor=2,
+                      n_seed_hosts=2),
+        budget_per_round=128,
+        out_dir="/tmp/owlcrawl_entry/out",
+        ckpt_dir="/tmp/owlcrawl_entry/ckpt",
+        fetch_concurrency=4,
+        image_concurrency=2,
+    )
+    shutil.rmtree("/tmp/owlcrawl_entry", ignore_errors=True)
+    crawler, _summary = run_crawl(cfg)
+    try:
+        images = crawler.images_table().select(
+            ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+        )
+    finally:
+        crawler.shutdown()
+    return rd.from_arrow(images)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from owlcrawler_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from owlcrawler_ray.pipelines.queries import ORACLES
+
+    return dict(ORACLES)

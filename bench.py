@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "num_cpus": N,
+   "crawl": {urls_per_s, image_rows_per_s, ...}}
+
+Headline = the flagship crawl (fetch -> extract -> decode -> sink) over the
+deterministic synthetic web (BENCH_WEB scale), plus per-query timings for
+the operator suite over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+  python bench.py              # one run at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling    # 8-cpu vs 32-cpu subprocess runs + efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "word_index",
+    "pricing_summary",
+    "exact_dedup",
+    "filter_scan",
+    "broadcast_join",
+    "anti_join_unseen",
+    "topk",
+    "events_hourly",
+    "token_stats",
+    "quality_scores",
+    "minhash_lsh_pairs",
+    "ann_topk",
+    "ann_ivf",
+    "embedding_near_dup",
+    "simhash_dedup",
+    "images_decode_stats",
+    "images_phash_pairs",
+]
+
+
+def run_once() -> dict:
+    import logging
+
+    import ray
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from owlcrawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from owlcrawler_ray.pipelines.queries import QUERIES
+    from owlcrawler_ray.sources.corpus import BENCH_WEB
+
+    # ---- headline: the crawl ------------------------------------------
+    base = f"/tmp/owlcrawl_bench/{NCPU}"
+    shutil.rmtree(base, ignore_errors=True)
+    cfg = CrawlConfig(
+        web=BENCH_WEB,
+        budget_per_round=4000,
+        num_seen_shards=8,
+        num_frontier_shards=8,
+        fetch_concurrency=max(2, NCPU - 4),
+        fetch_batch_size=32,
+        image_concurrency=max(2, NCPU // 2),
+        image_batch_size=64,
+        out_dir=f"{base}/out",
+        ckpt_dir=f"{base}/ckpt",
+        keep_logs=False,
+    )
+    t0 = time.perf_counter()
+    crawler, summary = run_crawl(cfg)
+    crawl_sec = time.perf_counter() - t0
+    n_images = sum(m["images"] for m in crawler.metrics["rounds"])
+    crawler.shutdown()
+    crawl_stats = {
+        "sec": round(crawl_sec, 3),
+        "fetched_urls": summary["fetched"],
+        "attempt_ticks": summary["ticks"],
+        "image_rows": n_images,
+        "urls_per_s": round(summary["fetched"] / crawl_sec, 2),
+        "image_rows_per_s": round(n_images / crawl_sec, 2),
+    }
+
+    # ---- operator suite over the sf tables ----------------------------
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    for name in ("lineitem", "orders", "documents", "events", "embeddings"):
+        with open(f"{SF_DIR}/{name}.parquet", "rb") as f:
+            f.read()
+    qtimes = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        res = QUERIES[name](SF_DIR)
+        if isinstance(res, rd.Dataset):
+            res.count()  # drives the full pipeline
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "crawl fetch+decode wall-clock (synthetic web, parity mode) "
+                  "+ operator suite timings",
+        "value": round(crawl_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "num_cpus": NCPU,
+        "crawl": crawl_stats,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    lo, hi = sub(8), sub(32)
+    thr_lo = lo["crawl"]["urls_per_s"]
+    thr_hi = hi["crawl"]["urls_per_s"]
+    img_lo = lo["crawl"]["image_rows_per_s"]
+    img_hi = hi["crawl"]["image_rows_per_s"]
+    return {
+        "metric": "crawl throughput scaling N=8 -> 4N=32 cpus",
+        "urls_per_s_8": thr_lo,
+        "urls_per_s_32": thr_hi,
+        "image_rows_per_s_8": img_lo,
+        "image_rows_per_s_32": img_hi,
+        "sec_8": lo["crawl"]["sec"],
+        "sec_32": hi["crawl"]["sec"],
+        "scaling_efficiency": round((thr_hi / thr_lo) / 4.0, 3),
+        "image_scaling_efficiency": round((img_hi / img_lo) / 4.0, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

@@ -373,8 +373,12 @@ class Crawler:
         )
         n = tbl.num_rows
         conc = max(1, min(cfg.fetch_concurrency, math.ceil(n / cfg.fetch_batch_size)))
+        # from_arrow yields ONE block; split it so the fetch pool actually
+        # fans out (one block per ~batch, capped at 4x pool size)
+        n_blocks = max(1, min(4 * conc, math.ceil(n / cfg.fetch_batch_size)))
         ds = (
             rd.from_arrow(tbl)
+            .repartition(n_blocks)
             .map_batches(
                 CorpusFetcher,
                 fn_constructor_args=(cfg.web,),

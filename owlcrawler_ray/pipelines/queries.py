@@ -738,3 +738,377 @@ ORACLES = {
         LIMIT 20
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (graft; exact clones -> SQL-oracle-able)
+# ---------------------------------------------------------------------------
+
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (threshold 0.999). The full
+    normalized matrix is broadcast once and each batch does one blocked
+    matmul against it — O(N^2 / B) vectorized work per batch. At 10^10
+    rows the broadcast becomes LSH bucketing (see q_ann_ivf) + within-
+    bucket verification; the threshold margin (clones ~1.0 vs random
+    64-dim cosines < 0.9) keeps float32/float64 engine differences moot."""
+    emb = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids_np = emb.column("vec_id").to_numpy()
+    mat = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)
+    clone_mask = ids_np < 20
+    all_ids = np.concatenate([ids_np, ids_np[clone_mask] + 10000])
+    all_mat = np.vstack([mat, mat[clone_mask]])
+    all_mat = all_mat / np.maximum(
+        np.linalg.norm(all_mat, axis=1, keepdims=True), 1e-12
+    )
+    ref = ray.put((all_ids, all_mat))
+    ds = rd.from_arrow(
+        pa.table({"vec_id": all_ids, "row": np.arange(len(all_ids))})
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        aids, amat = ray.get(ref)
+        rows = batch.column("row").to_numpy()
+        cos = amat[rows] @ amat.T  # (b, N)
+        out_a, out_b = [], []
+        for r, vid in zip(range(len(rows)), batch.column("vec_id").to_numpy()):
+            js = np.where(cos[r] > 0.999)[0]
+            for j in js:
+                if aids[j] > vid:
+                    out_a.append(vid)
+                    out_b.append(aids[j])
+        return pa.table(
+            {"vec_a": pa.array(out_a, pa.int64()), "vec_b": pa.array(out_b, pa.int64())}
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["embedding_near_dup"] = q_embedding_near_dup
+ORACLES["embedding_near_dup"] = """
+    WITH base AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 20
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM base a JOIN base b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.999
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only operators (no SQL equivalent; pytest-verified instead)
+# ---------------------------------------------------------------------------
+
+def q_simhash_dedup(sf_dir: str):
+    """SimHash near-dup: 64-bit signature per doc + banded bucketing.
+    Returns (doc_id, simhash, band0..band3) — bands are the LSH routing
+    key; pairs sharing any band are candidates (verified by hamming)."""
+    from ..functions.textops import simhash64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sig(batch: pa.Table) -> pa.Table:
+        ids_l = batch.column("doc_id").to_pylist()
+        sh = [simhash64(t) for t in batch.column("text").to_pylist()]
+        arr = np.array(sh, dtype=np.int64).view(np.uint64)
+        out = {"doc_id": pa.array(ids_l, pa.int64()),
+               "simhash": pa.array(np.array(sh, dtype=np.int64))}
+        for b in range(4):
+            out[f"band{b}"] = pa.array(
+                ((arr >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            )
+        return pa.table(out)
+
+    return ds.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_doc_fingerprints(sf_dir: str):
+    """Rolling-hash document fingerprint (min-of-windows, window=8 words)."""
+    from ..functions.textops import min_fingerprint
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fingerprint": pa.array(
+                    [min_fingerprint(t) for t in batch.column("text").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_lang_id(sf_dir: str):
+    """Language-ID heuristic stage (stopword+CJK ratio). The synthetic
+    corpus is word salad, so predictions are honest 'unknown's; the
+    pipeline shape (stateless scoring map_batches) is the deliverable."""
+    from ..functions.textops import predict_lang
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def pred(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "pred_lang": pa.array(
+                    [predict_lang(t) for t in batch.column("text").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return ds.map_batches(pred, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_ann_ivf(sf_dir: str):
+    """Multi-table LSH ANN (the scale path for q_ann_topk): L=8 seeded
+    random-hyperplane tables of 10 bits; a vector is a candidate if ANY
+    table codes it within hamming radius 2 of the query's code. Only
+    candidates get exact cosine ranking — ~40% of the table on uniform
+    random data (the adversarial case; clustered real embeddings prune
+    far harder). Top-20 (vec_id, label); recall vs brute is pytest-gated."""
+    k, n_tables, bits, radius = 20, 8, 10, 2
+    emb = pq.read_table(_p(sf_dir, "embeddings"))
+    qvec = np.array(emb.column("embedding")[0].as_py(), dtype=np.float64)
+    qn = qvec / np.linalg.norm(qvec)
+    rng = np.random.default_rng(1234)
+    planes = [rng.normal(size=(bits, len(qn))) for _ in range(n_tables)]
+    qcodes = [
+        int(((pl @ qn) > 0).astype(np.uint32) @ (1 << np.arange(bits)))
+        for pl in planes
+    ]
+    ref = ray.put((qn, planes, qcodes))
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        q, pls, qcs = ray.get(ref)
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+        mask = np.zeros(len(mat), dtype=bool)
+        for pl, qc in zip(pls, qcs):
+            codes = ((mat @ pl.T) > 0).astype(np.uint32) @ (1 << np.arange(bits))
+            x = codes.astype(np.uint64) ^ np.uint64(qc)
+            ham = np.zeros(len(codes), dtype=np.int64)
+            for _ in range(bits):
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            mask |= ham <= radius
+        mask &= batch.column("vec_id").to_numpy() != 0
+        if not mask.any():
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "label": pa.array([], pa.int32()),
+                 "cos": pa.array([], pa.float64())}
+            )
+        cos = (mat[mask] @ q) / norms[mask]
+        t = pa.table(
+            {
+                "vec_id": batch.column("vec_id").filter(pa.array(mask)),
+                "label": batch.column("label").filter(pa.array(mask)),
+                "cos": cos,
+            }
+        )
+        idx = pc.select_k_unstable(
+            t, k=min(k, t.num_rows),
+            sort_keys=[("cos", "descending"), ("vec_id", "ascending")],
+        )
+        return t.take(idx)
+
+    return (
+        ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["cos", "vec_id"], descending=[True, False])
+        .limit(k)
+        .select_columns(["vec_id", "label"])
+    )
+
+
+def _images_input(sf_dir: str) -> pa.Table:
+    """Deterministic input_hint images table sized to the sf tier."""
+    from ..sources.images_table import make_images_table
+
+    n_docs = pq.read_metadata(_p(sf_dir, "documents")).num_rows
+    n = max(60, n_docs // 2)
+    return make_images_table(n, with_near_dups=max(10, n // 10))
+
+
+def q_images_decode_stats(sf_dir: str):
+    """Multimodal decode stage over the input_hint table: per-fmt counts,
+    dimension sums, phash-recompute agreement. Binary payloads stay in
+    Arrow large_binary; decode batches are small (actor-pool shape)."""
+    from ..functions import codec as _codec
+
+    tbl = _images_input(sf_dir)
+    ds = rd.from_arrow(tbl)
+
+    class DecodeValidate:
+        def __init__(self):
+            _codec._dct_matrix(32)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            fmts, oks, pix_ok, ph_ok = [], [], [], []
+            for buf, w, h, ph in zip(
+                batch.column("bytes").to_pylist(),
+                batch.column("w").to_pylist(),
+                batch.column("h").to_pylist(),
+                batch.column("phash").to_pylist(),
+            ):
+                try:
+                    pix, fmt, dw, dh = _codec.decode(bytes(buf))
+                    fmts.append(fmt)
+                    oks.append(True)
+                    pix_ok.append(dw == w and dh == h)
+                    ph_ok.append(_codec.phash64(pix) == ph)
+                except ValueError:
+                    fmts.append("bad")
+                    oks.append(False)
+                    pix_ok.append(False)
+                    ph_ok.append(False)
+            t = pa.table(
+                {
+                    "fmt": pa.array(fmts, pa.string()),
+                    "ok": pa.array(np.asarray(oks, np.int64)),
+                    "dims_ok": pa.array(np.asarray(pix_ok, np.int64)),
+                    "phash_ok": pa.array(np.asarray(ph_ok, np.int64)),
+                }
+            )
+            return (
+                t.group_by("fmt")
+                .aggregate([("ok", "sum"), ("dims_ok", "sum"), ("phash_ok", "sum"),
+                            ([], "count_all")])
+                .rename_columns(["fmt", "ok_p", "dims_p", "ph_p", "n_p"])
+            )
+
+    return (
+        ds.map_batches(DecodeValidate, batch_format="pyarrow", batch_size=64,
+                       concurrency=(1, 2))
+        .groupby("fmt")
+        .aggregate(
+            Sum("n_p", alias_name="n_images"),
+            Sum("ok_p", alias_name="n_decoded"),
+            Sum("dims_p", alias_name="n_dims_ok"),
+            Sum("ph_p", alias_name="n_phash_ok"),
+        )
+    )
+
+
+def q_images_phash_pairs(sf_dir: str):
+    """Perceptual near-dup detection: band the 64-bit phash into 4x16-bit
+    LSH keys, groupby band-bucket, verify candidates by full hamming <= 6.
+    The only shuffle is over (band, key) — never pairwise over images."""
+    from ..functions.textops import hamming64_many
+
+    tbl = _images_input(sf_dir)
+    ds = rd.from_arrow(tbl.select(["image_id", "phash"]))
+
+    def bands(batch: pa.Table) -> pa.Table:
+        ph = batch.column("phash").to_numpy().view(np.uint64)
+        ids_l = batch.column("image_id").to_pylist()
+        out_id, out_band, out_key, out_ph = [], [], [], []
+        for i, pid in enumerate(ids_l):
+            for b in range(4):
+                out_id.append(pid)
+                out_band.append(b)
+                out_key.append(int((ph[i] >> np.uint64(16 * b)) & np.uint64(0xFFFF)))
+                out_ph.append(int(np.int64(ph[i])))
+        return pa.table(
+            {
+                "image_id": pa.array(out_id, pa.string()),
+                "band": pa.array(out_band, pa.int32()),
+                "key": pa.array(out_key, pa.int64()),
+                "phash": pa.array(out_ph, pa.int64()),
+            }
+        )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("image_id").drop_duplicates("image_id")
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"img_a": pd.Series([], dtype=str),
+                                 "img_b": pd.Series([], dtype=str)})
+        ids_l = g["image_id"].tolist()
+        ph = g["phash"].to_numpy()
+        out_a, out_b = [], []
+        for i in range(n):
+            d = hamming64_many(np.repeat(ph[i], n - i - 1), ph[i + 1:])
+            for j in np.where(d <= 6)[0]:
+                a, b = ids_l[i], ids_l[i + 1 + j]
+                out_a.append(min(a, b))
+                out_b.append(max(a, b))
+        return pd.DataFrame({"img_a": out_a, "img_b": out_b})
+
+    cand = ds.map_batches(bands, batch_format="pyarrow").groupby(
+        ["band", "key"]
+    ).map_groups(pairs, batch_format="pandas")
+    return cand.groupby(["img_a", "img_b"]).aggregate(Count(alias_name="n_bands"))
+
+
+def _crawl_cfg(tag: str):
+    from ..sources.corpus import WebConfig
+    from .crawl import CrawlConfig
+
+    return CrawlConfig(
+        web=WebConfig(num_hosts=4, base_pages=6, hot_factor=3, n_seed_hosts=2),
+        budget_per_round=64,
+        out_dir=f"/tmp/owlcrawl_q/{tag}/out",
+        ckpt_dir=f"/tmp/owlcrawl_q/{tag}/ckpt",
+        fetch_concurrency=2,
+        image_concurrency=1,
+    )
+
+
+def q_crawl_pages(sf_dir: str):
+    """Flagship crawl (small config), returning the pages table — parity
+    semantics are pytest-enforced against the serial oracle."""
+    import shutil as _sh
+
+    from .crawl import run_crawl
+
+    cfg = _crawl_cfg("pages")
+    _sh.rmtree("/tmp/owlcrawl_q/pages", ignore_errors=True)
+    c, _ = run_crawl(cfg)
+    try:
+        t = c.pages_table()
+        return t.select(
+            ["fetch_seq", "doc_id", "url", "title", "virtual_time_s", "depth"]
+        ).sort_by("fetch_seq")
+    finally:
+        c.shutdown()
+
+
+def q_crawl_images(sf_dir: str):
+    """Crawl image sink in the input_hint shape (image_id, bytes, w, h,
+    fmt, caption, phash)."""
+    import shutil as _sh
+
+    from .crawl import run_crawl
+
+    cfg = _crawl_cfg("images")
+    _sh.rmtree("/tmp/owlcrawl_q/images", ignore_errors=True)
+    c, _ = run_crawl(cfg)
+    try:
+        t = c.images_table()
+        return t.sort_by([("tick", "ascending"), ("img_idx", "ascending")]).select(
+            ["image_id", "w", "h", "fmt", "caption", "phash"]
+        )
+    finally:
+        c.shutdown()
+
+
+QUERIES.update(
+    {
+        "simhash_dedup": q_simhash_dedup,
+        "doc_fingerprints": q_doc_fingerprints,
+        "lang_id": q_lang_id,
+        "ann_ivf": q_ann_ivf,
+        "images_decode_stats": q_images_decode_stats,
+        "images_phash_pairs": q_images_phash_pairs,
+        "crawl_pages": q_crawl_pages,
+        "crawl_images": q_crawl_images,
+    }
+)

@@ -1,0 +1,123 @@
+"""Verification for the non-SQL operators: LSH-ANN recall vs brute force,
+simhash/fingerprint determinism + near-dup behavior, image decode/phash
+pipelines, language-ID shape."""
+
+import numpy as np
+import pandas as pd
+
+from owlcrawler_ray.functions import codec
+from owlcrawler_ray.functions.textops import (
+    fingerprints,
+    hamming64_many,
+    min_fingerprint,
+    predict_lang,
+    simhash64,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_simhash_properties():
+    a = simhash64("the quick brown fox jumps over the lazy dog")
+    assert a == simhash64("the quick brown fox jumps over the lazy dog")
+    near = simhash64("the quick brown fox jumps over the lazy cat")
+    far = simhash64("completely different words entirely unrelated text")
+    h_near = bin((a ^ near) & (2**64 - 1)).count("1")
+    h_far = bin((a ^ far) & (2**64 - 1)).count("1")
+    assert h_near < h_far
+    assert simhash64("") == 0
+
+
+def test_fingerprints_rolling_consistency():
+    text = " ".join(f"w{i}" for i in range(20))
+    fps = fingerprints(text, window=8)
+    assert len(fps) == 13  # 20 - 8 + 1
+    # rolling hash must equal direct hash of each window
+    ws = text.split(" ")
+    direct = fingerprints(" ".join(ws[5:13]), window=8)
+    assert fps[5] == direct[0]
+    assert min_fingerprint(text) == min(fps)
+    assert min_fingerprint("") == -1
+    # shared windows -> shared fingerprints (copy detection basis)
+    other = "x y z " + " ".join(ws[:12])
+    assert set(fingerprints(other, window=8)) & set(fps)
+
+
+def test_predict_lang_markers():
+    assert predict_lang("the cat and the dog of the house is in a box") == "en"
+    assert predict_lang("el perro y la casa de los gatos en un lugar") == "es"
+    assert predict_lang("这是一个中文句子 的 测试 文本 内容") == "zh"
+    assert predict_lang("") == "unknown"
+    assert predict_lang("qqq zzz xxx www") == "unknown"
+
+
+def test_hamming64_many():
+    a = np.array([0, -1, 5], dtype=np.int64)
+    b = np.array([0, 0, 4], dtype=np.int64)
+    assert list(hamming64_many(a, b)) == [0, 64, 1]
+
+
+def test_ann_ivf_recall_vs_brute(ray_session):
+    from owlcrawler_ray.pipelines.queries import q_ann_ivf, q_ann_topk
+
+    brute = set(q_ann_topk(SF).to_pandas()["vec_id"])
+    approx = set(q_ann_ivf(SF).to_pandas()["vec_id"])
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.5, f"IVF/LSH recall {recall} too low"
+
+
+def test_images_decode_stats(ray_session):
+    from owlcrawler_ray.pipelines.queries import q_images_decode_stats
+
+    df = q_images_decode_stats(SF).to_pandas()
+    assert set(df["fmt"]) <= {"png", "jpeg", "webp"}
+    # every image decodes, dimensions match, phash recomputes identically
+    assert (df["n_decoded"] == df["n_images"]).all()
+    assert (df["n_dims_ok"] == df["n_images"]).all()
+    assert (df["n_phash_ok"] == df["n_images"]).all()
+    assert df["n_images"].sum() >= 70
+
+
+def test_images_phash_pairs_finds_planted_dups(ray_session):
+    from owlcrawler_ray.pipelines.queries import _images_input, q_images_phash_pairs
+    from owlcrawler_ray.functions import ids
+
+    df = q_images_phash_pairs(SF).to_pandas()
+    pairs = set(zip(df["img_a"], df["img_b"]))
+    # every planted lossy re-encode must be found as a near-dup of its source
+    tbl = _images_input(SF)
+    ids_l = tbl.column("image_id").to_pylist()
+    planted = [i for i in ids_l if ids.decode_doc_id(i).split("/")[-1].startswith("dup-")]
+    assert planted
+    found = 0
+    for dup in planted:
+        k = ids.decode_doc_id(dup).split("/")[-1].split(".")[0].split("-")[1]
+        srcs = [
+            i for i in ids_l
+            if ids.decode_doc_id(i).split("/")[-1].split(".")[0] == f"img-{k}"
+        ]
+        assert len(srcs) == 1
+        pair = (min(dup, srcs[0]), max(dup, srcs[0]))
+        if pair in pairs:
+            found += 1
+    assert found / len(planted) >= 0.9, f"only {found}/{len(planted)} planted dups found"
+
+
+def test_simhash_and_fingerprint_queries_run(ray_session):
+    from owlcrawler_ray.pipelines.queries import (
+        q_doc_fingerprints,
+        q_lang_id,
+        q_simhash_dedup,
+    )
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    sh = q_simhash_dedup(SF).to_pandas()
+    assert {"doc_id", "simhash", "band0", "band1", "band2", "band3"} <= set(sh.columns)
+    assert sh["doc_id"].is_unique and len(sh) == n_docs
+    fp = q_doc_fingerprints(SF).to_pandas()
+    assert len(fp) == n_docs and fp["fingerprint"].nunique() > n_docs * 0.8
+    li = q_lang_id(SF).to_pandas()
+    assert set(li.columns) == {"doc_id", "lang", "pred_lang"}
+    assert len(li) == n_docs
