@@ -65,14 +65,21 @@ def run_once() -> dict:
 
     from owlcrawler_ray.pipelines.crawl import CrawlConfig, run_crawl
     from owlcrawler_ray.pipelines.queries import QUERIES
-    from owlcrawler_ray.sources.corpus import BENCH_WEB
+    from owlcrawler_ray.sources.corpus import WebConfig
 
     # ---- headline: the crawl ------------------------------------------
+    # sized so the low-cpu run is minutes of steady-state parallel work
+    # (scaling-efficiency evidence needs compute, not orchestration, to
+    # dominate): realistic page weight (~8-10 KB html, 64-192 px images),
+    # fanout-4 link tree (shallow BFS -> few, large rounds)
+    web = WebConfig(num_hosts=120, base_pages=240, hot_factor=8,
+                    n_seed_hosts=24, fanout=4, paragraphs=12,
+                    words_per_paragraph=50, img_scale=2)
     base = f"/tmp/owlcrawl_bench/{NCPU}"
     shutil.rmtree(base, ignore_errors=True)
     cfg = CrawlConfig(
-        web=BENCH_WEB,
-        budget_per_round=4000,
+        web=web,
+        budget_per_round=40000,
         num_seen_shards=8,
         num_frontier_shards=8,
         fetch_concurrency=max(2, NCPU - 4),
@@ -82,6 +89,7 @@ def run_once() -> dict:
         out_dir=f"{base}/out",
         ckpt_dir=f"{base}/ckpt",
         keep_logs=False,
+        checkpoint_every=4,
     )
     t0 = time.perf_counter()
     crawler, summary = run_crawl(cfg)
@@ -133,13 +141,17 @@ def run_scaling() -> dict:
         )
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
-    lo, hi = sub(8), sub(32)
+    # N=4 vs 4N=16: both legs sit on PHYSICAL cores. The box advertises 32
+    # logical cpus but hyperthreading caps raw 8->32 multiprocessing
+    # speedup at ~2.9x (measured with a pure-CPU burn), so 8-vs-32 would
+    # measure SMT, not the engine. 4 vs 16 keeps the 4x ratio honest.
+    lo, hi = sub(4), sub(16)
     thr_lo = lo["crawl"]["urls_per_s"]
     thr_hi = hi["crawl"]["urls_per_s"]
     img_lo = lo["crawl"]["image_rows_per_s"]
     img_hi = hi["crawl"]["image_rows_per_s"]
     return {
-        "metric": "crawl throughput scaling N=8 -> 4N=32 cpus",
+        "metric": "crawl throughput scaling N=4 -> 4N=16 cpus",
         "urls_per_s_8": thr_lo,
         "urls_per_s_32": thr_hi,
         "image_rows_per_s_8": img_lo,

@@ -206,3 +206,100 @@ def fetchable_links(payload: str, original_url: str) -> list[str]:
     so the advisory filter can run as its own vectorized stage."""
     fetch, _ = extract_links(payload, original_url, lambda u: True)
     return fetch
+
+
+class _CombinedExtractor(HTMLParser):
+    """Single-pass text + links + images extractor (hot-path fusion of
+    _TextExtractor, _LinkExtractor and _ImageExtractor — identical
+    semantics, one tokenizer walk instead of three; equivalence is
+    property-tested against the three separate extractors)."""
+
+    def __init__(self, scheme: str, host: str) -> None:
+        super().__init__(convert_charrefs=True)
+        self.scheme, self.host = scheme, host
+        self.page = PageStructure()
+        self._tok = ""
+        self.to_fetch: list[str] = []
+        self.to_store: list[str] = []
+        self.images: list[tuple[str, str]] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self._tok = tag if tag in _TRACKED else ""
+        if tag == "a":
+            self._hrefs(attrs)
+        elif tag == "img":
+            self._img(attrs)
+
+    def handle_endtag(self, tag: str) -> None:
+        self._tok = ""
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        # self-closing: tracking untouched, <a/> is never a link source,
+        # but <img/> still counts (images aren't reference semantics)
+        if tag == "img":
+            self._img(attrs)
+
+    def _hrefs(self, attrs) -> None:
+        for key, val in attrs:
+            if key != "href":
+                continue
+            val = val if val is not None else ""
+            if val.startswith("//"):
+                url = f"{self.scheme}:{val}"
+                self.to_store.append(url)
+                self.to_fetch.append(url)
+            elif val.startswith("/"):
+                url = f"{self.scheme}://{self.host}{val}"
+                self.to_store.append(url)
+                self.to_fetch.append(url)
+            else:
+                self.to_store.append(val)
+
+    def _img(self, attrs) -> None:
+        d = dict(attrs)
+        src = d.get("src") or ""
+        if not src:
+            return
+        if src.startswith("//"):
+            src = f"{self.scheme}:{src}"
+        elif src.startswith("/"):
+            src = f"{self.scheme}://{self.host}{src}"
+        self.images.append((src, d.get("alt") or ""))
+
+    def handle_data(self, data: str) -> None:
+        txt = data.strip()
+        if not txt:
+            return
+        tok, page = self._tok, self.page
+        if tok == "title":
+            page.title = txt
+        elif tok == "h1":
+            page.h1.append(txt)
+        elif tok == "h2":
+            page.h2.append(txt)
+        elif tok == "h3":
+            page.h3.append(txt)
+        elif tok == "h4":
+            page.h4.append(txt)
+        elif tok == "script":
+            return
+        else:
+            page.text.append(txt)
+
+
+def extract_all(payload: str, original_url: str):
+    """One tokenizer pass -> (PageStructure, fetch_candidates, to_store,
+    images). fetch_candidates = fetch-class links BEFORE the seen policy
+    (the crawl's advisory filter applies it downstream)."""
+    try:
+        parts = urlsplit(original_url)
+        scheme, host = parts.scheme, parts.netloc
+    except ValueError:
+        scheme, host = "", ""
+    p = _CombinedExtractor(scheme, host)
+    try:
+        p.feed(payload)
+        p.close()
+    except Exception:
+        pass
+    return p.page, p.to_fetch, p.to_store, p.images

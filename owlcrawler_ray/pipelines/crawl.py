@@ -31,10 +31,12 @@ import hashlib
 import json
 import math
 import os
+import time
 from dataclasses import asdict, dataclass, field
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -45,7 +47,7 @@ from ..sinks.checkpoint import CheckpointManager
 from ..sources.corpus import SyntheticWeb, WebConfig
 from ..stages.extract import extract_batch
 from ..stages.fetch import CorpusFetcher
-from ..stages.images import ImageDecoder, ImageFetcher, explode_image_refs
+from ..stages.images import ImageDecoder, ImageFetcher
 from ..state.frontier import FrontierShard, entries_table
 from ..state.politeness import PolitenessConfig, PolitenessGate
 from ..state.seen import SeenShard
@@ -75,6 +77,10 @@ class CrawlConfig:
     checkpoint_every: int = 1
     write_images: bool = True
     keep_logs: bool = True  # in-memory attempt/fetch logs (tests/parity)
+    # actor-pool stages (class + concurrency) are the shape a real
+    # session-holding fetcher needs; the sandbox corpus fetcher is a pure
+    # function of config, so task pools (False) skip per-round actor startup
+    use_actor_stages: bool = False
 
     def fingerprint(self) -> str:
         """Semantic identity of a crawl — fields that must match for a
@@ -98,61 +104,42 @@ class CrawlConfig:
         ).hexdigest()
 
 
-def _advisory_stamp_fn(seen_handles, meta, succ_tick, tick_seconds):
-    """Build the stateless advisory-filter + stamp stage (runs as Ray tasks;
-    per-batch RPC to the seen shards — the batched replacement for the
-    reference's one-HEAD-per-link check, parse.go:110,117)."""
-    num_shards = len(seen_handles)
+def _fetch_extract_fn(web_cfg, raw_tmp, fetch_inline: bool):
+    """The round's ONE heavy distributed pass: fetch (unless an actor-pool
+    fetcher already ran upstream) + single-pass extract, side-effect write
+    of the full success rows (html included) into the round's tmp dir
+    (content-keyed part names -> task retries overwrite idempotently), and
+    a SLIM return table (url/host/depth/seq/status/candidates/img refs) —
+    heavy columns cross the object store exactly once and never reach the
+    driver."""
+    fetcher = CorpusFetcher(web_cfg) if fetch_inline else None
 
-    def stamp(batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        keep = [i for i, u in enumerate(urls) if u in meta]
-        batch = batch.take(pa.array(keep, type=pa.int64()))
-        urls = [urls[i] for i in keep]
-        cand_lists = batch.column("fetch_candidates").to_pylist()
-        uniq = sorted({c for cl in cand_lists for c in cl})
-        seen_before: dict[str, bool] = {}
-        if uniq:
-            shards = ids.shard_of(uniq, num_shards)
-            per = [[] for _ in range(num_shards)]
-            for u, s in zip(uniq, shards):
-                per[int(s)].append(u)
-            masks = ray.get(
-                [seen_handles[s].contains_many.remote(per[s])
-                 for s in range(num_shards) if per[s]]
+    def fe(batch: pa.Table) -> pa.Table:
+        if fetcher is not None:
+            batch = fetcher(batch)
+        ext = extract_batch(batch)
+        ok = ext.filter(pc.equal(ext.column("status"), 200))
+        raw = ok.drop_columns(["fetch_candidates", "img_urls", "img_captions"])
+        if raw.num_rows:
+            seqs = raw.column("discovered_seq").to_pylist()
+            table_store.write_part(
+                raw_tmp, raw, key=f"{min(seqs)}-{max(seqs)}-{len(seqs)}"
             )
-            mi = 0
-            for s in range(num_shards):
-                if per[s]:
-                    for u, m in zip(per[s], masks[mi]):
-                        seen_before[u] = bool(m)
-                    mi += 1
-        ticks, seqs, vts, links_q = [], [], [], []
-        for u, cl in zip(urls, cand_lists):
-            tick, fseq = meta[u]
-            ticks.append(tick)
-            seqs.append(fseq)
-            vts.append(tick * tick_seconds)
-            links_q.append(
-                [
-                    c
-                    for c in cl
-                    if not seen_before.get(c, False)
-                    and not (c in succ_tick and succ_tick[c] <= tick)
-                ]
-            )
-        vt_us = [EPOCH_US + v * 1_000_000 for v in vts]
-        ts = pa.timestamp("us")
-        return (
-            batch.append_column("tick", pa.array(ticks, type=pa.int64()))
-            .append_column("fetch_seq", pa.array(seqs, type=pa.int64()))
-            .append_column("virtual_time_s", pa.array(vts, type=pa.int64()))
-            .append_column("links_to_queue", pa.array(links_q, type=pa.list_(pa.string())))
-            .append_column("fetched_on", pa.array(vt_us, type=ts))
-            .append_column("parsed_on", pa.array(vt_us, type=ts))
+        return ext.select(
+            ["url", "host", "depth", "discovered_seq", "status",
+             "fetch_candidates", "img_urls", "img_captions"]
         )
 
-    return stamp
+    return fe
+
+
+def _slice_tables(tbl: pa.Table, n_blocks: int) -> list[pa.Table]:
+    """Even driver-side split -> one block per slice (avoids a repartition
+    pass; rd.from_arrow(list) makes each table its own block)."""
+    n = tbl.num_rows
+    n_blocks = max(1, min(n_blocks, n)) if n else 1
+    step = math.ceil(n / n_blocks) if n else 1
+    return [tbl.slice(i, step) for i in range(0, n, step)] or [tbl]
 
 
 class Crawler:
@@ -357,6 +344,8 @@ class Crawler:
     # ------------------------------------------------------------------
     def _process_round(self, admitted: list[dict]) -> dict:
         cfg = self.cfg
+        tmr: dict[str, float] = {}
+        _t0 = time.perf_counter()
         # distinct urls, first-occurrence order (dup occurrences resolve at
         # tick assignment: first success discards later dups tick-free,
         # failures retry per occurrence — exactly the dequeue semantics)
@@ -373,13 +362,13 @@ class Crawler:
         )
         n = tbl.num_rows
         conc = max(1, min(cfg.fetch_concurrency, math.ceil(n / cfg.fetch_batch_size)))
-        # from_arrow yields ONE block; split it so the fetch pool actually
-        # fans out (one block per ~batch, capped at 4x pool size)
         n_blocks = max(1, min(4 * conc, math.ceil(n / cfg.fetch_batch_size)))
-        ds = (
-            rd.from_arrow(tbl)
-            .repartition(n_blocks)
-            .map_batches(
+        raw_tmp = table_store.begin_round(cfg.out_dir, "pages", self.round_id)
+        ds = rd.from_arrow(_slice_tables(tbl, n_blocks))
+        if cfg.use_actor_stages:
+            # actor-pool fetcher: the shape a REAL network fetcher needs
+            # (aiohttp session built once per actor in __init__)
+            ds = ds.map_batches(
                 CorpusFetcher,
                 fn_constructor_args=(cfg.web,),
                 batch_format="pyarrow",
@@ -387,14 +376,26 @@ class Crawler:
                 concurrency=(1, conc),
                 zero_copy_batch=True,
             )
-            .map_batches(extract_batch, batch_format="pyarrow",
-                         batch_size=cfg.fetch_batch_size, zero_copy_batch=True)
+            fe = _fetch_extract_fn(cfg.web, raw_tmp, fetch_inline=False)
+        else:
+            # corpus fetcher is a pure function of config -> fused into the
+            # extract tasks: ONE distributed pass for the whole round
+            fe = _fetch_extract_fn(cfg.web, raw_tmp, fetch_inline=True)
+        slim = pa.concat_tables(
+            ray.get(
+                ds.map_batches(
+                    fe, batch_format="pyarrow",
+                    batch_size=cfg.fetch_batch_size, zero_copy_batch=True,
+                ).to_arrow_refs()
+            )
         )
-        mat = ds.materialize()
-        status = {
-            r["url"]: r["status"]
-            for r in mat.select_columns(["url", "status"]).take_all()
-        }
+        table_store.commit_round(cfg.out_dir, "pages", self.round_id)
+        tmr["fetch_extract"] = time.perf_counter() - _t0
+        _t0 = time.perf_counter()
+        status = dict(
+            zip(slim.column("url").to_pylist(),
+                slim.column("status").to_pylist())
+        )
         # ---- politeness-tick assignment (driver, O(admitted)) ----------
         succ_tick: dict[str, int] = {}
         meta: dict[str, tuple[int, int]] = {}
@@ -414,14 +415,8 @@ class Crawler:
                 meta[u] = (self.tick, self.fetch_seq)
                 self.fetch_seq += 1
                 round_success_urls.append(u)
-        # ---- advisory filter + stamps (distributed stage) --------------
-        stamp = _advisory_stamp_fn(self.seen, meta, succ_tick, cfg.tick_seconds)
-        mat2 = mat.map_batches(
-            stamp, batch_format="pyarrow", batch_size=cfg.fetch_batch_size
-        ).materialize()
-        # ---- sinks ------------------------------------------------------
-        pages = mat2.drop_columns(["img_urls", "img_captions", "fetch_candidates"])
-        table_store.write_round(pages, cfg.out_dir, "pages", self.round_id)
+        tmr["tick_walk"] = time.perf_counter() - _t0
+        _t0 = time.perf_counter()
         if cfg.keep_logs:
             self.attempts_log.extend(round_attempts)
             for u in round_success_urls:
@@ -445,42 +440,134 @@ class Crawler:
             ),
             cfg.out_dir, "attempts", self.round_id,
         )
+        tmr["attempts_write"] = time.perf_counter() - _t0
+        _t0 = time.perf_counter()
+        # ---- advisory link filter + stamps (driver, vectorized-ish) -----
+        # slim rows for successes, in TICK order (serial extract order)
+        ok_mask = pa.array([u in meta for u in slim.column("url").to_pylist()])
+        succ = slim.filter(ok_mask)
+        s_urls = succ.column("url").to_pylist()
+        order_idx = sorted(range(len(s_urls)), key=lambda i: meta[s_urls[i]][0])
+        succ = succ.take(pa.array(order_idx, type=pa.int64()))
+        s_urls = [s_urls[i] for i in order_idx]
+        s_ticks = [meta[u][0] for u in s_urls]
+        s_cands = succ.column("fetch_candidates").to_pylist()
+        # batched seen-shard RPC for ALL candidates of the round (the
+        # replacement for the reference's per-link HEAD check)
+        uniq = sorted({c for cl in s_cands for c in cl})
+        seen_before: dict[str, bool] = {}
+        if uniq:
+            shards = ids.shard_of(uniq, cfg.num_seen_shards)
+            per = [[] for _ in range(cfg.num_seen_shards)]
+            for u, sh in zip(uniq, shards):
+                per[int(sh)].append(u)
+            futs, fsh = [], []
+            for sh in range(cfg.num_seen_shards):
+                if per[sh]:
+                    futs.append(self.seen[sh].contains_many.remote(per[sh]))
+                    fsh.append(sh)
+            for sh, mask in zip(fsh, ray.get(futs)):
+                for u, m in zip(per[sh], mask):
+                    seen_before[u] = bool(m)
+        links_q = []
+        for u, tick, cl in zip(s_urls, s_ticks, s_cands):
+            links_q.append(
+                [c for c in cl
+                 if not seen_before.get(c, False)
+                 and not (c in succ_tick and succ_tick[c] <= tick)]
+            )
+        # stamps sidecar (joined back into pages_table() on read)
+        ts = pa.timestamp("us")
+        vt_us = [EPOCH_US + t * cfg.tick_seconds * 1_000_000 for t in s_ticks]
+        stamps = pa.table(
+            {
+                "url": pa.array(s_urls, pa.string()),
+                "tick": pa.array(s_ticks, pa.int64()),
+                "fetch_seq": pa.array([meta[u][1] for u in s_urls], pa.int64()),
+                "virtual_time_s": pa.array(
+                    [t * cfg.tick_seconds for t in s_ticks], pa.int64()
+                ),
+                "links_to_queue": pa.array(links_q, pa.list_(pa.string())),
+                "fetched_on": pa.array(vt_us, type=ts),
+                "parsed_on": pa.array(vt_us, type=ts),
+            }
+        )
+        stamps_tmp = table_store.begin_round(cfg.out_dir, "stamps", self.round_id)
+        table_store.write_part(stamps_tmp, stamps, key=f"r{self.round_id}")
+        table_store.commit_round(cfg.out_dir, "stamps", self.round_id)
+        tmr["stamps"] = time.perf_counter() - _t0
+        _t0 = time.perf_counter()
         n_images = 0
         if cfg.write_images and len(meta):
-            imgs = (
-                mat2.select_columns(["url", "tick", "img_urls", "img_captions"])
-                .map_batches(explode_image_refs, batch_format="pyarrow")
-                .map_batches(
-                    ImageFetcher,
-                    fn_constructor_args=(cfg.web,),
-                    batch_format="pyarrow",
-                    batch_size=cfg.image_batch_size,
-                    concurrency=(1, cfg.image_concurrency),
+            # image refs exploded driver-side (urls + captions only — tiny);
+            # bytes fetched/decoded distributed, written from inside the
+            # decode tasks (one pass)
+            s_imgs = succ.column("img_urls").to_pylist()
+            s_caps = succ.column("img_captions").to_pylist()
+            ref_url, ref_cap, ref_tick, ref_idx, ref_page = [], [], [], [], []
+            for page_u, tick, ius, ics in zip(s_urls, s_ticks, s_imgs, s_caps):
+                for i, (u, c) in enumerate(zip(ius, ics)):
+                    ref_url.append(u)
+                    ref_cap.append(c)
+                    ref_tick.append(tick)
+                    ref_idx.append(i)
+                    ref_page.append(page_u)
+            if ref_url:
+                refs_tbl = pa.table(
+                    {
+                        "image_url": pa.array(ref_url, pa.string()),
+                        "caption": pa.array(ref_cap, pa.string()),
+                        "tick": pa.array(ref_tick, pa.int64()),
+                        "img_idx": pa.array(np.asarray(ref_idx, dtype=np.int32)),
+                        "page_url": pa.array(ref_page, pa.string()),
+                    }
                 )
-                .map_batches(
-                    ImageDecoder,
-                    batch_format="pyarrow",
-                    batch_size=cfg.image_batch_size,
-                    concurrency=(1, cfg.image_concurrency),
+                imgs_tmp = table_store.begin_round(
+                    cfg.out_dir, "images", self.round_id
                 )
-            ).materialize()
-            n_images = imgs.count()
-            table_store.write_round(imgs, cfg.out_dir, "images", self.round_id)
+                fetcher = ImageFetcher(cfg.web)
+                decoder = ImageDecoder()
+
+                def decode_write(batch: pa.Table) -> pa.Table:
+                    out = decoder(fetcher(batch))
+                    if out.num_rows:
+                        ticks_col = out.column("tick").to_pylist()
+                        idx_col = out.column("img_idx").to_pylist()
+                        table_store.write_part(
+                            imgs_tmp, out,
+                            key=f"{min(ticks_col)}-{max(ticks_col)}-"
+                                f"{min(idx_col)}-{len(ticks_col)}",
+                        )
+                    return pa.table({"n": pa.array([out.num_rows], pa.int64())})
+
+                n_img_blocks = max(
+                    1, min(4 * cfg.image_concurrency,
+                           math.ceil(refs_tbl.num_rows / cfg.image_batch_size))
+                )
+                counts = (
+                    rd.from_arrow(_slice_tables(refs_tbl, n_img_blocks))
+                    .map_batches(decode_write, batch_format="pyarrow",
+                                 batch_size=cfg.image_batch_size)
+                    .take_all()
+                )
+                n_images = int(sum(r["n"] for r in counts))
+                table_store.commit_round(cfg.out_dir, "images", self.round_id)
+        tmr["images"] = time.perf_counter() - _t0
+        _t0 = time.perf_counter()
         # ---- frontier growth: seqs in (tick, doc-order) = publish order -
-        link_rows = mat2.select_columns(
-            ["url", "tick", "depth", "links_to_queue"]
-        ).take_all()
-        link_rows.sort(key=lambda r: r["tick"])
+        s_depths = succ.column("depth").to_pylist()
         new_urls, new_depths = [], []
-        for r in link_rows:
-            for link in r["links_to_queue"]:
+        for d, lq in zip(s_depths, links_q):
+            for link in lq:
                 new_urls.append(link)
-                new_depths.append(int(r["depth"]) + 1)
+                new_depths.append(int(d) + 1)
         new_seqs = list(range(self.next_seq, self.next_seq + len(new_urls)))
         self.next_seq += len(new_urls)
         self._push_frontier(
             new_urls, new_depths, [0.0] * len(new_urls), new_seqs
         )
+        tmr["links_push"] = time.perf_counter() - _t0
+        _t0 = time.perf_counter()
         # ---- commit seen state ------------------------------------------
         if round_success_urls:
             shards = ids.shard_of(round_success_urls, cfg.num_seen_shards)
@@ -490,6 +577,7 @@ class Crawler:
                 if us:
                     futs.append(self.seen[s].add_many.remote(us))
             ray.get(futs)
+        tmr["seen_commit"] = time.perf_counter() - _t0
         hosts = [ids.host_of(u) for u in round_success_urls]
         per_host: dict[str, int] = {}
         for h in hosts:
@@ -502,6 +590,7 @@ class Crawler:
             "images": int(n_images),
             "new_links": len(new_urls),
             "per_host_fetches": per_host,
+            "timings": {k: round(v, 3) for k, v in tmr.items()},
         }
 
     # ------------------------------------------------------------------
@@ -555,9 +644,11 @@ class Crawler:
         while self.round_id < cfg.max_rounds:
             if cfg.max_ticks is not None and self.tick >= cfg.max_ticks:
                 break
+            _ta = time.perf_counter()
             admitted = (
                 self._admit_parity() if cfg.mode == "parity" else self._admit_polite()
             )
+            admit_sec = time.perf_counter() - _ta
             if not admitted:
                 if cfg.mode == "polite" and sum(
                     ray.get([f.size.remote() for f in self.frontier])
@@ -567,9 +658,12 @@ class Crawler:
                     continue
                 break
             m = self._process_round(admitted)
-            self.metrics["rounds"].append(m)
+            m["timings"]["admit"] = round(admit_sec, 3)
+            _tc = time.perf_counter()
             if self.round_id % cfg.checkpoint_every == 0:
                 self._checkpoint()
+            m["timings"]["checkpoint"] = round(time.perf_counter() - _tc, 3)
+            self.metrics["rounds"].append(m)
             self.round_id += 1
         self._checkpoint()
         return self.summary()
@@ -585,7 +679,21 @@ class Crawler:
 
     # parity views ------------------------------------------------------
     def pages_table(self) -> pa.Table:
-        return table_store.read_all_arrow(self.cfg.out_dir, "pages")
+        """Pages with their stamps sidecar merged back in (url-keyed):
+        the reference's full CouchDoc shape incl. links_to_queue/parsed_on."""
+        raw = table_store.read_all_arrow(self.cfg.out_dir, "pages")
+        stamps = table_store.read_all_arrow(self.cfg.out_dir, "stamps")
+        if raw.num_rows == 0 or stamps.num_rows == 0:
+            return raw
+        idx = {u: i for i, u in enumerate(stamps.column("url").to_pylist())}
+        order = pa.array(
+            [idx[u] for u in raw.column("url").to_pylist()], type=pa.int64()
+        )
+        taken = stamps.take(order).drop_columns(["url"])
+        out = raw
+        for name in taken.column_names:
+            out = out.append_column(name, taken.column(name))
+        return out
 
     def images_table(self) -> pa.Table:
         return table_store.read_all_arrow(self.cfg.out_dir, "images")

@@ -465,15 +465,22 @@ N_PERM = 8
 
 
 def _minhash_sig(text: str) -> list[str]:
+    """8 minhash values per doc from 2 md5 calls per shingle: md5 with
+    prefix p in {0,1} yields a 32-hex digest sliced into 4 independent
+    8-hex sub-hashes (lexicographic min == numeric min on fixed-width
+    hex). The DuckDB oracle computes the identical slices via
+    substr(md5(...), 8k+1, 8)."""
     ws = text.split(" ")
     n = len(ws)
     shingles = [
-        " ".join(ws[i - 1 : i + 2]) for i in range(1, max(n - 2, 1) + 1)
+        " ".join(ws[i - 1 : i + 2]).encode() for i in range(1, max(n - 2, 1) + 1)
     ]
     sig = []
-    for k in range(N_PERM):
-        pre = f"{k}|"
-        sig.append(min(hashlib.md5((pre + s).encode()).hexdigest() for s in shingles))
+    for p in (b"0|", b"1|"):
+        hexes = [hashlib.md5(p + s).hexdigest() for s in shingles]
+        for k in range(4):
+            lo = 8 * k
+            sig.append(min(h[lo : lo + 8] for h in hexes))
     return sig
 
 
@@ -606,7 +613,8 @@ QUERIES = {
 }
 
 _MH_COLS = ", ".join(
-    f"min(md5('{k}|' || shingle)) AS mh{k}" for k in range(N_PERM)
+    f"min(substr(md5('{k // 4}|' || shingle), {8 * (k % 4) + 1}, 8)) AS mh{k}"
+    for k in range(N_PERM)
 )
 _BAND_CASE = " ".join(f"WHEN {k} THEN mh{k}" for k in range(N_PERM))
 
@@ -928,13 +936,18 @@ def q_ann_ivf(sf_dir: str):
     )
 
 
-def _images_input(sf_dir: str) -> pa.Table:
-    """Deterministic input_hint images table sized to the sf tier."""
-    from ..sources.images_table import make_images_table
+def _images_input(sf_dir: str):
+    """Deterministic input_hint images table sized to the sf tier,
+    synthesized DISTRIBUTED (rd.range -> map_batches row generator) — the
+    driver never materializes image bytes."""
+    from ..sources.images_table import rows_for_indices
 
     n_docs = pq.read_metadata(_p(sf_dir, "documents")).num_rows
     n = max(60, n_docs // 2)
-    return make_images_table(n, with_near_dups=max(10, n // 10))
+    nd = max(10, n // 10)
+    return rd.range(n + nd, override_num_blocks=max(2, (n + nd) // 256)).map_batches(
+        lambda b: rows_for_indices(b["id"], n, nd), batch_format="numpy"
+    )
 
 
 def q_images_decode_stats(sf_dir: str):
@@ -943,8 +956,7 @@ def q_images_decode_stats(sf_dir: str):
     Arrow large_binary; decode batches are small (actor-pool shape)."""
     from ..functions import codec as _codec
 
-    tbl = _images_input(sf_dir)
-    ds = rd.from_arrow(tbl)
+    ds = _images_input(sf_dir)
 
     class DecodeValidate:
         def __init__(self):
@@ -1003,8 +1015,7 @@ def q_images_phash_pairs(sf_dir: str):
     The only shuffle is over (band, key) — never pairwise over images."""
     from ..functions.textops import hamming64_many
 
-    tbl = _images_input(sf_dir)
-    ds = rd.from_arrow(tbl.select(["image_id", "phash"]))
+    ds = _images_input(sf_dir).select_columns(["image_id", "phash"])
 
     def bands(batch: pa.Table) -> pa.Table:
         ph = batch.column("phash").to_numpy().view(np.uint64)
@@ -1112,3 +1123,69 @@ QUERIES.update(
         "crawl_images": q_crawl_images,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# A4/SO1: search scoring + highlight (the ES capability, re-expressed)
+# ---------------------------------------------------------------------------
+
+SEARCH_TERM = "window"
+
+
+def q_search(sf_dir: str):
+    """Term search over documents: score = term frequency, order by score
+    desc (doc_id tiebreak), top 10, with a 150-char highlight fragment
+    starting 40 chars before the first hit — the capability of the
+    reference's ES match+highlight query (elastic_search.go:111-157),
+    without an external search cluster. Single scan, local prune, tiny
+    global top-k."""
+    term = SEARCH_TERM
+    k = 10
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids_l, scores, frags = [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            n = text.count(term)
+            if n == 0:
+                continue
+            pos = text.find(term) + 1  # 1-based, duckdb strpos semantics
+            start = max(pos - 40, 1) - 1
+            ids_l.append(did)
+            scores.append(n)
+            frags.append(text[start : start + 150])
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids_l, pa.int64()),
+                "score": pa.array(scores, pa.int64()),
+                "highlight": pa.array(frags, pa.string()),
+            }
+        )
+        if t.num_rows > k:
+            idx = pc.select_k_unstable(
+                t, k=k, sort_keys=[("score", "descending"),
+                                   ("doc_id", "ascending")],
+            )
+            t = t.take(idx)
+        return t
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+QUERIES["search"] = q_search
+ORACLES["search"] = f"""
+    SELECT doc_id,
+           (length(text) - length(replace(text, '{SEARCH_TERM}', '')))
+               / length('{SEARCH_TERM}') AS score,
+           substring(text, greatest(strpos(text, '{SEARCH_TERM}') - 40, 1), 150)
+               AS highlight
+    FROM documents
+    WHERE strpos(text, '{SEARCH_TERM}') > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+"""

@@ -57,6 +57,41 @@ def write_round(ds, root: str, name: str, round_id: int) -> str:
     return final
 
 
+def begin_round(root: str, name: str, round_id: int) -> str:
+    """Start a side-effect-written round: returns the tmp dir that stage
+    tasks write part files into (content-hash filenames -> task retries
+    overwrite rather than duplicate). Commit with commit_round()."""
+    tmp = _round_dir(root, name, round_id) + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    return tmp
+
+
+def commit_round(root: str, name: str, round_id: int) -> str:
+    """Atomically promote the tmp dir written by stage tasks. If the round
+    was already committed (resume replay), the tmp content is identical by
+    determinism and is simply discarded."""
+    final = _round_dir(root, name, round_id)
+    tmp = final + ".tmp"
+    if os.path.exists(os.path.join(final, "_SUCCESS")):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return final
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(tmp, final)
+    with open(os.path.join(final, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    return final
+
+
+def write_part(tmp_dir: str, table: pa.Table, key: str) -> None:
+    """Write one part file with a deterministic content-derived name (safe
+    under task retries)."""
+    import hashlib
+
+    digest = hashlib.blake2b(key.encode(), digest_size=8).hexdigest()
+    pq.write_table(table, os.path.join(tmp_dir, f"part-{digest}.parquet"))
+
+
 def list_rounds(root: str, name: str) -> list[int]:
     base = os.path.join(root, name)
     if not os.path.isdir(base):

@@ -67,6 +67,8 @@ class WebConfig:
     max_images: int = 3
     paragraphs: int = 3
     words_per_paragraph: int = 30
+    fanout: int = 2       # tree children per page (BFS depth ~ log_fanout)
+    img_scale: int = 1    # multiplies image dimensions (decode weight)
 
     def pages_on(self, host_idx: int) -> int:
         return self.base_pages * (self.hot_factor if host_idx == 0 else 1)
@@ -129,6 +131,7 @@ class SyntheticWeb:
         for k in range(n):
             fmt = _FMTS[(page_idx + k) % 3]
             w, h = _DIMS[int(rng.integers(0, len(_DIMS)))]
+            w, h = w * cfg.img_scale, h * cfg.img_scale
             img_url = f"http://{self.host(host_idx)}/img-{page_idx}-{k}.{fmt}"
             out.append(
                 {
@@ -167,7 +170,10 @@ class SyntheticWeb:
         cfg = self.cfg
         rng = _rng_for(cfg.seed, "links", hi, pi)
         pages = cfg.pages_on(hi)
-        same_host = [c for c in (2 * pi + 1, 2 * pi + 2) if c < pages]
+        same_host = [
+            c for c in range(cfg.fanout * pi + 1, cfg.fanout * pi + 1 + cfg.fanout)
+            if c < pages
+        ]
         for _ in range(cfg.extra_links):
             same_host.append(int(rng.integers(0, pages)))
         dead = []

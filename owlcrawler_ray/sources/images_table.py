@@ -31,6 +31,52 @@ SCHEMA = pa.schema(
 )
 
 
+def rows_for_indices(indices, n: int, with_near_dups: int) -> pa.Table:
+    """Rows of make_images_table(n, with_near_dups) for a slice of flat
+    indices (0..n-1 = base images, n..n+dups-1 = lossy re-encodes of base
+    i-n). Pure function of the index -> the table synthesizes DISTRIBUTED
+    via rd.range(total).map_batches(...), no driver-side generation."""
+    rows = {k: [] for k in
+            ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
+    for idx in indices:
+        idx = int(idx)
+        if idx < n:
+            i = idx
+            fmt = _FMTS[i % 3]
+            url = f"http://images.test/img-{i}.{fmt}"
+            base_id = ids.doc_id(url)
+            pix = codec.synth_pixels(base_id, *_DIMS[i % len(_DIMS)])
+        else:
+            i = idx - n
+            fmt = "jpeg" if _FMTS[i % 3] != "jpeg" else "webp"
+            url = f"http://images.test/dup-{i}.{fmt}"
+            src_fmt = _FMTS[i % 3]
+            src_id = ids.doc_id(f"http://images.test/img-{i}.{src_fmt}")
+            pix = codec.synth_pixels(src_id, *_DIMS[i % len(_DIMS)])
+        w, h = _DIMS[i % len(_DIMS)]
+        buf = codec.encode(pix, fmt)
+        dec, *_ = codec.decode(buf)
+        rows["image_id"].append(ids.doc_id(url))
+        rows["bytes"].append(buf)
+        rows["w"].append(w)
+        rows["h"].append(h)
+        rows["fmt"].append(fmt)
+        rows["caption"].append(f"synthetic image {i} caption")
+        rows["phash"].append(codec.phash64(dec))
+    return pa.table(
+        {
+            "image_id": pa.array(rows["image_id"], pa.string()),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "w": pa.array(np.asarray(rows["w"], np.int32)),
+            "h": pa.array(np.asarray(rows["h"], np.int32)),
+            "fmt": pa.array(rows["fmt"], pa.string()),
+            "caption": pa.array(rows["caption"], pa.string()),
+            "phash": pa.array(np.asarray(rows["phash"], np.int64)),
+        },
+        schema=SCHEMA,
+    )
+
+
 def make_images_table(n: int, with_near_dups: int = 0) -> pa.Table:
     rows = {k: [] for k in
             ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}

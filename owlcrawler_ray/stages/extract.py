@@ -20,7 +20,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..functions import ids
-from ..functions.parse import extract_images, extract_links, extract_text
+from ..functions.parse import extract_all
 
 
 def extract_batch(batch: pa.Table) -> pa.Table:
@@ -39,9 +39,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
                 col.append([])
             continue
         html = bytes(html_bytes).decode("utf-8", errors="replace")
-        page = extract_text(html)
-        to_fetch, to_store = extract_links(html, url, lambda u: True)
-        imgs = extract_images(html, url)
+        page, to_fetch, to_store, imgs = extract_all(html, url)
         titles.append(page.title)
         h1s.append(page.h1)
         h2s.append(page.h2)

@@ -13,9 +13,9 @@ WEB = WebConfig(num_hosts=3, base_pages=6, hot_factor=2, n_seed_hosts=2)
 
 
 def _cfg(base, **kw):
+    kw.setdefault("budget_per_round", 10)
     return CrawlConfig(
         web=WEB,
-        budget_per_round=10,
         out_dir=f"{base}/out",
         ckpt_dir=f"{base}/ckpt",
         fetch_concurrency=2,

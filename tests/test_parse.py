@@ -160,3 +160,23 @@ def test_extract_images_resolution_and_alt():
         ("http://cdn.test/b.jpeg", "cap b"),
         ("http://x.test/c.webp", ""),
     ]
+
+
+def test_extract_all_equivalent_to_separate_passes():
+    from owlcrawler_ray.functions.parse import extract_all
+    from owlcrawler_ray.sources.corpus import TEST_WEB, SyntheticWeb
+
+    web = SyntheticWeb(TEST_WEB)
+    docs = [GOLDEN, SCRIPT_ONLY] + [
+        web.html_for(hi, pi) for hi in range(3) for pi in range(5)
+    ]
+    for html in docs:
+        base = "http://host-0.test/page-1.html"
+        page, fetch, store, imgs = extract_all(html, base)
+        want_page = extract_text(html)
+        want_fetch, want_store = extract_links(html, base, lambda u: True)
+        want_imgs = extract_images(html, base)
+        assert page == want_page
+        assert fetch == want_fetch
+        assert store == want_store
+        assert imgs == want_imgs

@@ -78,14 +78,32 @@ def test_images_decode_stats(ray_session):
     assert df["n_images"].sum() >= 70
 
 
+def test_images_rows_for_indices_matches_driver_table():
+    import numpy as np
+
+    from owlcrawler_ray.sources.images_table import (
+        make_images_table,
+        rows_for_indices,
+    )
+
+    want = make_images_table(12, with_near_dups=4)
+    got = rows_for_indices(np.arange(16), 12, 4)
+    assert got.equals(want)
+
+
 def test_images_phash_pairs_finds_planted_dups(ray_session):
-    from owlcrawler_ray.pipelines.queries import _images_input, q_images_phash_pairs
+    import pyarrow.parquet as _pq
+
+    from owlcrawler_ray.pipelines.queries import q_images_phash_pairs
     from owlcrawler_ray.functions import ids
+    from owlcrawler_ray.sources.images_table import make_images_table
 
     df = q_images_phash_pairs(SF).to_pandas()
     pairs = set(zip(df["img_a"], df["img_b"]))
     # every planted lossy re-encode must be found as a near-dup of its source
-    tbl = _images_input(SF)
+    n_docs = _pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    n = max(60, n_docs // 2)
+    tbl = make_images_table(n, with_near_dups=max(10, n // 10))
     ids_l = tbl.column("image_id").to_pylist()
     planted = [i for i in ids_l if ids.decode_doc_id(i).split("/")[-1].startswith("dup-")]
     assert planted
