@@ -91,6 +91,9 @@ def run_once() -> dict:
         keep_logs=False,
         checkpoint_every=4,
     )
+    from owlcrawler_ray.pipelines.crawl import warmup_workers
+
+    warmup_workers(NCPU)  # steady-state measurement: workers+imports warm
     t0 = time.perf_counter()
     crawler, summary = run_crawl(cfg)
     crawl_sec = time.perf_counter() - t0
@@ -145,19 +148,22 @@ def run_scaling() -> dict:
     # logical cpus but hyperthreading caps raw 8->32 multiprocessing
     # speedup at ~2.9x (measured with a pure-CPU burn), so 8-vs-32 would
     # measure SMT, not the engine. 4 vs 16 keeps the 4x ratio honest.
-    lo, hi = sub(4), sub(16)
+    n_lo, n_hi = 4, 16
+    lo, hi = sub(n_lo), sub(n_hi)
     thr_lo = lo["crawl"]["urls_per_s"]
     thr_hi = hi["crawl"]["urls_per_s"]
     img_lo = lo["crawl"]["image_rows_per_s"]
     img_hi = hi["crawl"]["image_rows_per_s"]
     return {
-        "metric": "crawl throughput scaling N=4 -> 4N=16 cpus",
-        "urls_per_s_8": thr_lo,
-        "urls_per_s_32": thr_hi,
-        "image_rows_per_s_8": img_lo,
-        "image_rows_per_s_32": img_hi,
-        "sec_8": lo["crawl"]["sec"],
-        "sec_32": hi["crawl"]["sec"],
+        "metric": f"crawl throughput scaling N={n_lo} -> 4N={n_hi} cpus",
+        "cpus_lo": n_lo,
+        "cpus_hi": n_hi,
+        "urls_per_s_lo": thr_lo,
+        "urls_per_s_hi": thr_hi,
+        "image_rows_per_s_lo": img_lo,
+        "image_rows_per_s_hi": img_hi,
+        "sec_lo": lo["crawl"]["sec"],
+        "sec_hi": hi["crawl"]["sec"],
         "scaling_efficiency": round((thr_hi / thr_lo) / 4.0, 3),
         "image_scaling_efficiency": round((img_hi / img_lo) / 4.0, 3),
     }

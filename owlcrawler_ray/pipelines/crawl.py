@@ -104,15 +104,21 @@ class CrawlConfig:
         ).hexdigest()
 
 
-def _fetch_extract_fn(web_cfg, raw_tmp, fetch_inline: bool):
+def _fetch_extract_fn(web_cfg, raw_tmp, imgs_tmp, fetch_inline: bool):
     """The round's ONE heavy distributed pass: fetch (unless an actor-pool
-    fetcher already ran upstream) + single-pass extract, side-effect write
-    of the full success rows (html included) into the round's tmp dir
+    fetcher already ran upstream) + single-pass extract + image
+    fetch/decode/phash, with side-effect writes of the full page rows
+    (html included) AND the decoded image rows into the round's tmp dirs
     (content-keyed part names -> task retries overwrite idempotently), and
     a SLIM return table (url/host/depth/seq/status/candidates/img refs) —
     heavy columns cross the object store exactly once and never reach the
-    driver."""
+    driver. Images carry (page_url, discovered_seq, img_idx); the tick is
+    joined back from the stamps sidecar at read time (tick order within a
+    round == admission seq order of the distinct urls, so ordering parity
+    is preserved)."""
     fetcher = CorpusFetcher(web_cfg) if fetch_inline else None
+    img_fetcher = ImageFetcher(web_cfg) if imgs_tmp is not None else None
+    img_decoder = ImageDecoder() if imgs_tmp is not None else None
 
     def fe(batch: pa.Table) -> pa.Table:
         if fetcher is not None:
@@ -125,6 +131,41 @@ def _fetch_extract_fn(web_cfg, raw_tmp, fetch_inline: bool):
             table_store.write_part(
                 raw_tmp, raw, key=f"{min(seqs)}-{max(seqs)}-{len(seqs)}"
             )
+            if img_fetcher is not None:
+                iu, ic, it, ii, ip = [], [], [], [], []
+                for page_u, seq, us, cs in zip(
+                    ok.column("url").to_pylist(),
+                    ok.column("discovered_seq").to_pylist(),
+                    ok.column("img_urls").to_pylist(),
+                    ok.column("img_captions").to_pylist(),
+                ):
+                    for i, (u, c) in enumerate(zip(us, cs)):
+                        iu.append(u)
+                        ic.append(c)
+                        it.append(seq)  # stand-in key; tick joined at read
+                        ii.append(i)
+                        ip.append(page_u)
+                if iu:
+                    refs = pa.table(
+                        {
+                            "image_url": pa.array(iu, pa.string()),
+                            "caption": pa.array(ic, pa.string()),
+                            "tick": pa.array(it, pa.int64()),
+                            "img_idx": pa.array(np.asarray(ii, dtype=np.int32)),
+                            "page_url": pa.array(ip, pa.string()),
+                        }
+                    )
+                    out = img_decoder(img_fetcher(refs))
+                    out = out.rename_columns(
+                        [c if c != "tick" else "discovered_seq"
+                         for c in out.column_names]
+                    )
+                    if out.num_rows:
+                        sq = out.column("discovered_seq").to_pylist()
+                        table_store.write_part(
+                            imgs_tmp, out,
+                            key=f"i{min(sq)}-{max(sq)}-{out.num_rows}",
+                        )
         return ext.select(
             ["url", "host", "depth", "discovered_seq", "status",
              "fetch_candidates", "img_urls", "img_captions"]
@@ -364,6 +405,10 @@ class Crawler:
         conc = max(1, min(cfg.fetch_concurrency, math.ceil(n / cfg.fetch_batch_size)))
         n_blocks = max(1, min(4 * conc, math.ceil(n / cfg.fetch_batch_size)))
         raw_tmp = table_store.begin_round(cfg.out_dir, "pages", self.round_id)
+        imgs_tmp = (
+            table_store.begin_round(cfg.out_dir, "images", self.round_id)
+            if cfg.write_images else None
+        )
         ds = rd.from_arrow(_slice_tables(tbl, n_blocks))
         if cfg.use_actor_stages:
             # actor-pool fetcher: the shape a REAL network fetcher needs
@@ -376,11 +421,11 @@ class Crawler:
                 concurrency=(1, conc),
                 zero_copy_batch=True,
             )
-            fe = _fetch_extract_fn(cfg.web, raw_tmp, fetch_inline=False)
+            fe = _fetch_extract_fn(cfg.web, raw_tmp, imgs_tmp, fetch_inline=False)
         else:
             # corpus fetcher is a pure function of config -> fused into the
             # extract tasks: ONE distributed pass for the whole round
-            fe = _fetch_extract_fn(cfg.web, raw_tmp, fetch_inline=True)
+            fe = _fetch_extract_fn(cfg.web, raw_tmp, imgs_tmp, fetch_inline=True)
         slim = pa.concat_tables(
             ray.get(
                 ds.map_batches(
@@ -390,6 +435,8 @@ class Crawler:
             )
         )
         table_store.commit_round(cfg.out_dir, "pages", self.round_id)
+        if imgs_tmp is not None:
+            table_store.commit_round(cfg.out_dir, "images", self.round_id)
         tmr["fetch_extract"] = time.perf_counter() - _t0
         _t0 = time.perf_counter()
         status = dict(
@@ -497,61 +544,9 @@ class Crawler:
         table_store.commit_round(cfg.out_dir, "stamps", self.round_id)
         tmr["stamps"] = time.perf_counter() - _t0
         _t0 = time.perf_counter()
-        n_images = 0
-        if cfg.write_images and len(meta):
-            # image refs exploded driver-side (urls + captions only — tiny);
-            # bytes fetched/decoded distributed, written from inside the
-            # decode tasks (one pass)
-            s_imgs = succ.column("img_urls").to_pylist()
-            s_caps = succ.column("img_captions").to_pylist()
-            ref_url, ref_cap, ref_tick, ref_idx, ref_page = [], [], [], [], []
-            for page_u, tick, ius, ics in zip(s_urls, s_ticks, s_imgs, s_caps):
-                for i, (u, c) in enumerate(zip(ius, ics)):
-                    ref_url.append(u)
-                    ref_cap.append(c)
-                    ref_tick.append(tick)
-                    ref_idx.append(i)
-                    ref_page.append(page_u)
-            if ref_url:
-                refs_tbl = pa.table(
-                    {
-                        "image_url": pa.array(ref_url, pa.string()),
-                        "caption": pa.array(ref_cap, pa.string()),
-                        "tick": pa.array(ref_tick, pa.int64()),
-                        "img_idx": pa.array(np.asarray(ref_idx, dtype=np.int32)),
-                        "page_url": pa.array(ref_page, pa.string()),
-                    }
-                )
-                imgs_tmp = table_store.begin_round(
-                    cfg.out_dir, "images", self.round_id
-                )
-                fetcher = ImageFetcher(cfg.web)
-                decoder = ImageDecoder()
-
-                def decode_write(batch: pa.Table) -> pa.Table:
-                    out = decoder(fetcher(batch))
-                    if out.num_rows:
-                        ticks_col = out.column("tick").to_pylist()
-                        idx_col = out.column("img_idx").to_pylist()
-                        table_store.write_part(
-                            imgs_tmp, out,
-                            key=f"{min(ticks_col)}-{max(ticks_col)}-"
-                                f"{min(idx_col)}-{len(ticks_col)}",
-                        )
-                    return pa.table({"n": pa.array([out.num_rows], pa.int64())})
-
-                n_img_blocks = max(
-                    1, min(4 * cfg.image_concurrency,
-                           math.ceil(refs_tbl.num_rows / cfg.image_batch_size))
-                )
-                counts = (
-                    rd.from_arrow(_slice_tables(refs_tbl, n_img_blocks))
-                    .map_batches(decode_write, batch_format="pyarrow",
-                                 batch_size=cfg.image_batch_size)
-                    .take_all()
-                )
-                n_images = int(sum(r["n"] for r in counts))
-                table_store.commit_round(cfg.out_dir, "images", self.round_id)
+        n_images = int(
+            sum(len(x) for x in succ.column("img_urls").to_pylist())
+        ) if cfg.write_images else 0
         tmr["images"] = time.perf_counter() - _t0
         _t0 = time.perf_counter()
         # ---- frontier growth: seqs in (tick, doc-order) = publish order -
@@ -696,7 +691,25 @@ class Crawler:
         return out
 
     def images_table(self) -> pa.Table:
-        return table_store.read_all_arrow(self.cfg.out_dir, "images")
+        """Decoded image rows with the politeness tick joined back from the
+        stamps sidecar (images are written in the same pass as pages, before
+        ticks exist; within a round tick order == admission seq order, so
+        (tick, img_idx) ordering parity is exact)."""
+        imgs = table_store.read_all_arrow(self.cfg.out_dir, "images")
+        stamps = table_store.read_all_arrow(self.cfg.out_dir, "stamps")
+        if imgs.num_rows == 0 or stamps.num_rows == 0:
+            return imgs
+        tick_of = dict(
+            zip(stamps.column("url").to_pylist(),
+                stamps.column("tick").to_pylist())
+        )
+        ticks = pa.array(
+            [tick_of[u] for u in imgs.column("page_url").to_pylist()],
+            type=pa.int64(),
+        )
+        if "tick" in imgs.column_names:
+            imgs = imgs.drop_columns(["tick"])
+        return imgs.append_column("tick", ticks)
 
     def attempts_table(self) -> pa.Table:
         return table_store.read_all_arrow(self.cfg.out_dir, "attempts")
@@ -704,6 +717,21 @@ class Crawler:
     def shutdown(self) -> None:
         for a in self.frontier + self.seen:
             ray.kill(a)
+
+
+def warmup_workers(n: int) -> None:
+    """Pre-start Ray worker processes and pay the package-import cost once,
+    before any timed work: Ray starts python workers lazily, and a first
+    wide pass otherwise eats ~0.5-1 s per NEW worker (import ray.data +
+    this package) in the middle of the crawl."""
+    def touch(batch):
+        from ..functions import codec as _c  # noqa: F401  (import cost)
+        from ..sources import corpus as _s  # noqa: F401
+        return batch
+
+    rd.range(n * 4, override_num_blocks=n * 2).map_batches(
+        touch, batch_size=1
+    ).count()
 
 
 def run_crawl(cfg: CrawlConfig, resume: bool = False) -> tuple[Crawler, dict]:

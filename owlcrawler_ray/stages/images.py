@@ -82,10 +82,14 @@ class ImageDecoder:
         caps = batch.column("caption").to_pylist()
         ticks = batch.column("tick").to_pylist()
         idxs = batch.column("img_idx").to_pylist()
+        pages = (
+            batch.column("page_url").to_pylist()
+            if "page_url" in batch.column_names else [None] * len(urls)
+        )
         rows = {k: [] for k in
                 ("image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-                 "tick", "img_idx")}
-        for u, b, c, t, i in zip(urls, bufs, caps, ticks, idxs):
+                 "tick", "img_idx", "page_url")}
+        for u, b, c, t, i, p in zip(urls, bufs, caps, ticks, idxs, pages):
             if not b:
                 continue
             try:
@@ -101,7 +105,8 @@ class ImageDecoder:
             rows["phash"].append(codec.phash64(pix))
             rows["tick"].append(t)
             rows["img_idx"].append(i)
-        return pa.table(
+            rows["page_url"].append(p)
+        out = pa.table(
             {
                 "image_id": pa.array(rows["image_id"], type=pa.string()),
                 "bytes": pa.array(rows["bytes"], type=pa.binary()),
@@ -114,3 +119,8 @@ class ImageDecoder:
                 "img_idx": pa.array(np.asarray(rows["img_idx"], dtype=np.int32)),
             }
         )
+        if "page_url" in batch.column_names:
+            out = out.append_column(
+                "page_url", pa.array(rows["page_url"], type=pa.string())
+            )
+        return out
