@@ -403,37 +403,45 @@ class Crawler:
         )
         n = tbl.num_rows
         conc = max(1, min(cfg.fetch_concurrency, math.ceil(n / cfg.fetch_batch_size)))
-        n_blocks = max(1, min(4 * conc, math.ceil(n / cfg.fetch_batch_size)))
+        # block sizing: ~100 pages/task keeps tasks ~1s — coarse blocks
+        # leave straggler tails at the round barrier, too-fine blocks choke
+        # the driver-side scheduler (both measured); floor at 2x concurrency
+        n_blocks = max(1, min(256, max(2 * conc, math.ceil(n / 128))))
+        n_blocks = min(n_blocks, max(1, n))
         raw_tmp = table_store.begin_round(cfg.out_dir, "pages", self.round_id)
         imgs_tmp = (
             table_store.begin_round(cfg.out_dir, "images", self.round_id)
             if cfg.write_images else None
         )
-        ds = rd.from_arrow(_slice_tables(tbl, n_blocks))
         if cfg.use_actor_stages:
-            # actor-pool fetcher: the shape a REAL network fetcher needs
-            # (aiohttp session built once per actor in __init__)
-            ds = ds.map_batches(
+            # actor-pool fetcher via Dataset: the shape a REAL network
+            # fetcher needs (aiohttp session built once per actor)
+            fe = _fetch_extract_fn(cfg.web, raw_tmp, imgs_tmp, fetch_inline=False)
+            ds = rd.from_arrow(_slice_tables(tbl, n_blocks)).map_batches(
                 CorpusFetcher,
                 fn_constructor_args=(cfg.web,),
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
                 concurrency=(1, conc),
                 zero_copy_batch=True,
+            ).map_batches(
+                fe, batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size, zero_copy_batch=True,
             )
-            fe = _fetch_extract_fn(cfg.web, raw_tmp, imgs_tmp, fetch_inline=False)
+            slim = pa.concat_tables(ray.get(ds.to_arrow_refs()))
         else:
-            # corpus fetcher is a pure function of config -> fused into the
-            # extract tasks: ONE distributed pass for the whole round
+            # The round pass is a driver-coordinated scatter-gather with a
+            # hard barrier (politeness-tick assignment needs every status):
+            # plain Ray tasks over the arrow slices. The Dataset streaming
+            # executor buys nothing at a barrier and costs ~35 ms/task of
+            # driver-side overhead (measured A/B: 4.4 s vs 3.1 s per 4800
+            # pages at 16 cpus) — the Dataset API remains the idiom for the
+            # streaming/query pipelines, not for this exchange.
             fe = _fetch_extract_fn(cfg.web, raw_tmp, imgs_tmp, fetch_inline=True)
-        slim = pa.concat_tables(
-            ray.get(
-                ds.map_batches(
-                    fe, batch_format="pyarrow",
-                    batch_size=cfg.fetch_batch_size, zero_copy_batch=True,
-                ).to_arrow_refs()
+            fe_task = ray.remote(num_cpus=1)(fe)
+            slim = pa.concat_tables(
+                ray.get([fe_task.remote(s) for s in _slice_tables(tbl, n_blocks)])
             )
-        )
         table_store.commit_round(cfg.out_dir, "pages", self.round_id)
         if imgs_tmp is not None:
             table_store.commit_round(cfg.out_dir, "images", self.round_id)
