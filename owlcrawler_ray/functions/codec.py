@@ -148,3 +148,106 @@ try:  # real-codec drop-in gate (not present in this sandbox)
     HAVE_PIL = True
 except ImportError:
     HAVE_PIL = False
+
+
+# ---------------------------------------------------------------------------
+# resize / video container / audio — multimodal kernels (all deterministic)
+# ---------------------------------------------------------------------------
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (h,w,3)->(out_h,out_w,3)."""
+    h, w, _ = pixels.shape
+    ys = np.minimum(np.arange(out_h) * h // out_h, h - 1)
+    xs = np.minimum(np.arange(out_w) * w // out_w, w - 1)
+    return pixels[np.ix_(ys, xs)]
+
+
+def resize_block_mean(pixels: np.ndarray, factor: int) -> np.ndarray:
+    """Area (block-mean) downscale by an integer factor (pads by edge
+    replication when dims aren't divisible)."""
+    h, w, c = pixels.shape
+    ph, pw = (-h) % factor, (-w) % factor
+    if ph or pw:
+        pixels = np.pad(pixels, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        h, w = pixels.shape[:2]
+    out = pixels.reshape(h // factor, factor, w // factor, factor, c)
+    return out.mean(axis=(1, 3)).round().astype(np.uint8)
+
+
+VIDEO_MAGIC = b"OWLV"
+
+
+def encode_video(frames: list[np.ndarray], fmt: str = "jpeg") -> bytes:
+    """Tiny deterministic video container: per-frame OWLC payloads with a
+    length index. Stands in for mp4/webm so the frame-sampling PIPELINE
+    (schema, batch sizing, stage signatures) is real; a PyAV/ffmpeg decoder
+    drops in behind the same two functions."""
+    payloads = [encode(f, fmt) for f in frames]
+    head = VIDEO_MAGIC + len(payloads).to_bytes(4, "little")
+    head += b"".join(len(p).to_bytes(4, "little") for p in payloads)
+    return head + b"".join(payloads)
+
+
+def video_frame_count(buf: bytes) -> int:
+    buf = bytes(buf)
+    if buf[:4] != VIDEO_MAGIC:
+        raise ValueError("not an OWLV payload")
+    return int.from_bytes(buf[4:8], "little")
+
+
+def decode_video_frames(buf: bytes, stride: int = 1,
+                        max_frames: int | None = None) -> list[np.ndarray]:
+    """Every ``stride``-th frame, decoded. Raises ValueError on foreign
+    bytes (the hook point for a real ffmpeg-based sampler)."""
+    buf = bytes(buf)
+    n = video_frame_count(buf)
+    sizes = [
+        int.from_bytes(buf[8 + 4 * i : 12 + 4 * i], "little") for i in range(n)
+    ]
+    offs = [8 + 4 * n]
+    for s in sizes[:-1]:
+        offs.append(offs[-1] + s)
+    out = []
+    for i in range(0, n, stride):
+        frame, *_ = decode(buf[offs[i] : offs[i] + sizes[i]])
+        out.append(frame)
+        if max_frames is not None and len(out) >= max_frames:
+            break
+    return out
+
+
+def synth_audio(clip_id: str, n_samples: int = 8000) -> np.ndarray:
+    """Deterministic int16 PCM clip (seeded tone mix + noise)."""
+    seed = int.from_bytes(
+        hashlib.blake2b(clip_id.encode(), digest_size=8).digest(), "little"
+    )
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_samples, dtype=np.float64)
+    sig = np.zeros(n_samples)
+    for _ in range(3):
+        f = rng.uniform(0.005, 0.2)
+        sig += rng.uniform(0.1, 0.5) * np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28))
+    sig += rng.normal(0, 0.05, n_samples)
+    return np.clip(sig * 12000, -32768, 32767).astype(np.int16)
+
+
+def encode_audio(samples: np.ndarray) -> bytes:
+    return b"OWLA" + len(samples).to_bytes(4, "little") + samples.astype("<i2").tobytes()
+
+
+def decode_audio(buf: bytes) -> np.ndarray:
+    buf = bytes(buf)
+    if buf[:4] != b"OWLA":
+        raise ValueError("not an OWLA payload")
+    n = int.from_bytes(buf[4:8], "little")
+    return np.frombuffer(buf[8 : 8 + 2 * n], dtype="<i2")
+
+
+def audio_features(samples: np.ndarray) -> dict:
+    """RMS energy + zero-crossing rate + peak — the stateless feature-
+    extraction kernel for an audio map_batches stage."""
+    x = samples.astype(np.float64)
+    rms = float(np.sqrt(np.mean(x**2))) if len(x) else 0.0
+    zc = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if len(x) > 1 else 0.0
+    peak = float(np.max(np.abs(x))) if len(x) else 0.0
+    return {"rms": rms, "zcr": zc, "peak": peak}

@@ -1189,3 +1189,273 @@ ORACLES["search"] = f"""
     ORDER BY score DESC, doc_id
     LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish tokenization (SQL-oracled via regexp_extract_all)
+# ---------------------------------------------------------------------------
+
+_BPE_RE = re.compile(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")
+
+
+def q_bpe_tokens(sf_dir: str):
+    """Token counting with a BPE-ish pretokenizer regex (word chunks +
+    standalone punctuation) — compiled once per worker (module level)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bpe_tokens": pa.array(
+                    [len(_BPE_RE.findall(t))
+                     for t in batch.column("text").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["bpe_tokens"] = q_bpe_tokens
+ORACLES["bpe_tokens"] = r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+               AS n_bpe_tokens
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessionization (streaming-shaped: 30-min-gap sessions per user)
+# ---------------------------------------------------------------------------
+
+def q_sessionization(sf_dir: str):
+    """Per-user sessionization: events sorted by (ts, event_id) within the
+    user partition; a gap > 30 virtual minutes opens a new session. The
+    groupby(user).map_groups shape is the engine's windowed/stateful-stream
+    mapping (SURVEY.md §2.10); ordering assumption: ts ties broken by
+    event_id, identical to the SQL window ORDER BY."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gaps = g["ts"].diff()
+        new_sess = (gaps.isna()) | (gaps > pd.Timedelta(minutes=30))
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [int(new_sess.sum())],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+QUERIES["sessionization"] = q_sessionization
+ORACLES["sessionization"] = """
+    WITH g AS (
+        SELECT user_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(new_sess) AS BIGINT) AS n_sessions
+    FROM g GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# sampling (SO4)
+# ---------------------------------------------------------------------------
+
+def q_sample_fraction(sf_dir: str):
+    """Seeded random sample of lineitem (bench subsets; not parity
+    relevant). Rows-only check: row count within binomial bounds is pytest-
+    verified; exact membership is seed-dependent by design."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+    return ds.random_sample(0.1, seed=42)
+
+
+QUERIES["sample_fraction"] = q_sample_fraction
+
+
+# ---------------------------------------------------------------------------
+# multimodal pipelines (rows-only; invariants pytest-verified)
+# ---------------------------------------------------------------------------
+
+def q_images_thumbnails(sf_dir: str):
+    """Resize stage over the input_hint table: decode -> 32x32 nearest ->
+    re-encode + thumb phash. Returns per-fmt thumbnail stats."""
+    from ..stages.multimodal import Thumbnailer
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    ds = _images_input(sf_dir)
+    thumbs = ds.map_batches(
+        Thumbnailer, fn_constructor_args=(32, 32, "jpeg"),
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 2),
+    )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ok = pc.is_valid(batch.column("thumb"))
+        t = pa.table(
+            {
+                "fmt": batch.column("fmt"),
+                "ok": pc.cast(ok, pa.int64()),
+                "dims_ok": pc.cast(
+                    pc.and_(pc.equal(batch.column("thumb_w"), 32),
+                            pc.equal(batch.column("thumb_h"), 32)),
+                    pa.int64(),
+                ),
+            }
+        )
+        return (
+            t.group_by("fmt")
+            .aggregate([("ok", "sum"), ("dims_ok", "sum"), ([], "count_all")])
+            .rename_columns(["fmt", "ok_p", "dims_p", "n_p"])
+        )
+
+    return (
+        thumbs.map_batches(stats, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(
+            _Sum("n_p", alias_name="n_images"),
+            _Sum("ok_p", alias_name="n_thumbs"),
+            _Sum("dims_p", alias_name="n_dims_ok"),
+        )
+    )
+
+
+def _videos_input(sf_dir: str):
+    """Small deterministic video table: clips of 6-12 frames assembled from
+    synth frames (one video per 20 documents-rows of scale)."""
+    from ..functions import codec as _c
+
+    n_docs = pq.read_metadata(_p(sf_dir, "documents")).num_rows
+    n_videos = max(8, n_docs // 20)
+
+    def gen(batch) -> pa.Table:
+        ids_l, bufs, counts = [], [], []
+        for i in batch["id"]:
+            i = int(i)
+            nf = 6 + (i % 7)
+            frames = [
+                _c.synth_pixels(f"video-{i}-frame-{k}", 48, 32)
+                for k in range(nf)
+            ]
+            ids_l.append(f"video-{i}")
+            bufs.append(_c.encode_video(frames))
+            counts.append(nf)
+        return pa.table(
+            {
+                "video_id": pa.array(ids_l, pa.string()),
+                "bytes": pa.array(bufs, pa.binary()),
+                "n_frames": pa.array(np.asarray(counts, np.int32)),
+            }
+        )
+
+    return rd.range(n_videos, override_num_blocks=max(2, n_videos // 16)).map_batches(
+        gen, batch_format="numpy"
+    )
+
+
+def q_video_frame_sample(sf_dir: str):
+    """Video frame-sampling stage: every 2nd frame, capped at 8, one row
+    per sampled frame with dims + phash."""
+    from ..stages.multimodal import VideoFrameSampler
+
+    return _videos_input(sf_dir).map_batches(
+        VideoFrameSampler, fn_constructor_args=(2, 8, "png"),
+        batch_format="pyarrow", batch_size=16, concurrency=(1, 2),
+    )
+
+
+def _audio_input(sf_dir: str):
+    n_docs = pq.read_metadata(_p(sf_dir, "documents")).num_rows
+    n_clips = max(16, n_docs // 10)
+
+    def gen(batch) -> pa.Table:
+        from ..functions import codec as _c
+
+        ids_l, bufs = [], []
+        for i in batch["id"]:
+            cid = f"clip-{int(i)}"
+            ids_l.append(cid)
+            bufs.append(_c.encode_audio(_c.synth_audio(cid, 4000 + 100 * (int(i) % 10))))
+        return pa.table(
+            {"clip_id": pa.array(ids_l, pa.string()),
+             "bytes": pa.array(bufs, pa.binary())}
+        )
+
+    return rd.range(n_clips, override_num_blocks=max(2, n_clips // 32)).map_batches(
+        gen, batch_format="numpy"
+    )
+
+
+def q_audio_features(sf_dir: str):
+    """Audio feature-extraction stage: PCM decode -> rms/zcr/peak."""
+    from ..stages.multimodal import AudioFeatures
+
+    return _audio_input(sf_dir).map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=64, concurrency=(1, 2),
+    ).select_columns(["clip_id", "n_samples", "rms", "zcr", "peak"])
+
+
+def q_ngram_jaccard_verify(sf_dir: str):
+    """Verification stage after MinHash-LSH: true 3-word-shingle Jaccard
+    for each candidate pair, keeping pairs >= 0.5 — the standard
+    candidate->verify near-dup pipeline (pairs list is small; each pair's
+    shingle sets recomputed vectorized in the verify batch)."""
+    cand = q_minhash_lsh_pairs(sf_dir)
+    base = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    texts = dict(zip(base.column("doc_id").to_pylist(),
+                     base.column("text").to_pylist()))
+    for did in list(texts):
+        if did < 25:
+            texts[did + 200000] = texts[did] + " nearly identical tail"
+    ref = ray.put(texts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        tx = ray.get(ref)
+
+        def shingles(did):
+            ws = tx[did].split(" ")
+            return {
+                " ".join(ws[i - 1 : i + 2])
+                for i in range(1, max(len(ws) - 2, 1) + 1)
+            }
+
+        a_l = batch.column("doc_a").to_pylist()
+        b_l = batch.column("doc_b").to_pylist()
+        keep_a, keep_b, jac = [], [], []
+        for a, b in zip(a_l, b_l):
+            sa, sb = shingles(a), shingles(b)
+            j = len(sa & sb) / max(len(sa | sb), 1)
+            if j >= 0.5:
+                keep_a.append(a)
+                keep_b.append(b)
+                jac.append(round(j, 6))
+        return pa.table(
+            {
+                "doc_a": pa.array(keep_a, pa.int64()),
+                "doc_b": pa.array(keep_b, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+QUERIES.update(
+    {
+        "images_thumbnails": q_images_thumbnails,
+        "video_frame_sample": q_video_frame_sample,
+        "audio_features": q_audio_features,
+        "ngram_jaccard_verify": q_ngram_jaccard_verify,
+    }
+)

@@ -139,3 +139,81 @@ def test_simhash_and_fingerprint_queries_run(ray_session):
     li = q_lang_id(SF).to_pandas()
     assert set(li.columns) == {"doc_id", "lang", "pred_lang"}
     assert len(li) == n_docs
+
+
+def test_multimodal_kernels():
+    from owlcrawler_ray.functions import codec
+    import numpy as np
+
+    pix = codec.synth_pixels("mm", 96, 64)
+    small = codec.resize_block_mean(pix, 2)
+    assert small.shape == (32, 48, 3)
+    nn = codec.resize_nearest(pix, 32, 32)
+    assert nn.shape == (32, 32, 3)
+    frames = [codec.synth_pixels(f"f{i}", 48, 32) for i in range(7)]
+    buf = codec.encode_video(frames, fmt="png")
+    assert codec.video_frame_count(buf) == 7
+    sampled = codec.decode_video_frames(buf, stride=3)
+    assert len(sampled) == 3  # frames 0, 3, 6
+    assert np.array_equal(sampled[1], frames[3])  # png = lossless
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        codec.decode_video_frames(b"RIFFnotours")
+    a = codec.synth_audio("clip")
+    back = codec.decode_audio(codec.encode_audio(a))
+    assert np.array_equal(a, back)
+    f = codec.audio_features(back)
+    assert f["rms"] > 0 and 0 < f["zcr"] < 1 and f["peak"] <= 32768
+
+
+def test_thumbnails_query(ray_session):
+    from owlcrawler_ray.pipelines.queries import q_images_thumbnails
+
+    df = q_images_thumbnails(SF).to_pandas()
+    assert (df["n_thumbs"] == df["n_images"]).all()
+    assert (df["n_dims_ok"] == df["n_images"]).all()
+
+
+def test_video_frame_sample_query(ray_session):
+    from owlcrawler_ray.pipelines.queries import _videos_input, q_video_frame_sample
+
+    frames = q_video_frame_sample(SF).to_pandas()
+    vids = _videos_input(SF).to_pandas()
+    # every video contributes ceil(min(n_frames, 15)/2) capped at 8 frames
+    want = {
+        r["video_id"]: min((r["n_frames"] + 1) // 2, 8)
+        for _, r in vids.iterrows()
+    }
+    got = frames.groupby("video_id").size().to_dict()
+    assert got == want
+    assert (frames["w"] == 48).all() and (frames["h"] == 32).all()
+    assert frames["frame_idx"].min() == 0 and frames["frame_idx"].max() % 2 == 0
+
+
+def test_audio_features_query(ray_session):
+    from owlcrawler_ray.pipelines.queries import q_audio_features
+
+    df = q_audio_features(SF).to_pandas()
+    assert len(df) >= 16 and df["clip_id"].is_unique
+    assert (df["rms"] > 0).all() and (df["n_samples"] >= 4000).all()
+
+
+def test_ngram_jaccard_verify(ray_session):
+    from owlcrawler_ray.pipelines.queries import q_ngram_jaccard_verify
+
+    df = q_ngram_jaccard_verify(SF).to_pandas()
+    # every surviving pair is a planted clone pair (200000+id vs id), with
+    # high jaccard; all 25 planted pairs survive verification
+    assert len(df) >= 25
+    clone_pairs = df[(df["doc_b"] - df["doc_a"]) == 200000]
+    assert len(clone_pairs) == 25
+    assert (df["jaccard"] >= 0.5).all()
+
+
+def test_sample_fraction(ray_session):
+    from owlcrawler_ray.pipelines.queries import q_sample_fraction
+    import pyarrow.parquet as _pq
+
+    n = _pq.read_metadata(f"{SF}/lineitem.parquet").num_rows
+    got = q_sample_fraction(SF).count()
+    assert 0.05 * n < got < 0.15 * n
