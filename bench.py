@@ -43,6 +43,13 @@ BENCH_QUERIES = [
     "simhash_dedup",
     "images_decode_stats",
     "images_phash_pairs",
+    "bpe_tokens",
+    "sessionization",
+    "images_thumbnails",
+    "video_frame_sample",
+    "audio_features",
+    "search",
+    "fifo_order",
 ]
 
 
