@@ -138,3 +138,36 @@ def test_robots_disallow_respected(ray_session, tmp_path):
         assert "http://host-1.test/" in urls  # root itself is allowed
     finally:
         c.shutdown()
+
+
+def test_polite_mode_caps_hot_host_per_round(ray_session, tmp_path):
+    """Skew control: the hot host (3x pages) cannot monopolize a round —
+    per-host token buckets cap its admissions while other hosts proceed."""
+    from owlcrawler_ray.state.politeness import PolitenessConfig
+
+    base = str(tmp_path / "skew")
+    cfg = CrawlConfig(
+        web=SMALL_WEB,  # host-0 is 3x hot
+        mode="polite",
+        politeness=PolitenessConfig(mode="polite", rate_per_s=0.4, burst=2.0),
+        out_dir=f"{base}/out",
+        ckpt_dir=f"{base}/ckpt",
+        fetch_concurrency=2,
+        image_concurrency=1,
+        max_rounds=300,
+    )
+    c, _ = run_crawl(cfg)
+    try:
+        per_round = [m["per_host_fetches"] for m in c.metrics["rounds"]]
+        for counts in per_round:
+            # burst=2.0 -> no host ever gets more than 2 fetches in a round
+            assert all(v <= 2 for v in counts.values()), counts
+        total = {}
+        for counts in per_round:
+            for h, v in counts.items():
+                total[h] = total.get(h, 0) + v
+        # the hot host still gets crawled fully, just spread across rounds
+        # (+1: the seed root url "/" is distinct from "/page-0.html")
+        assert total.get("host-0.test", 0) == SMALL_WEB.pages_on(0) + 1
+    finally:
+        c.shutdown()
