@@ -112,3 +112,23 @@ def hamming64_many(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         cnt += (x & np.uint64(1)).astype(np.int64)
         x >>= np.uint64(1)
     return cnt
+
+
+def sanitize_highlight(s: str) -> str:
+    """The webapp's highlight sanitizer (reference webapp/main.go:137-141):
+    replace the ES sentinel markers with real <strong> tags."""
+    return s.replace("_-_strong_-_", "<strong>").replace(
+        "_!-_strong_-_", "</strong>"
+    )
+
+
+def parse_stats_rows(rows: list[dict]) -> dict:
+    """The stats-view reduce parser (reference couchdb/couchdb.go:291-311 +
+    couchdb_test.go fixture): [{key, value}] rows -> {fetched, parsed}."""
+    out = {"fetched": 0, "parsed": 0}
+    for r in rows:
+        if r.get("key") == "fetched_on":
+            out["fetched"] = int(r.get("value", 0))
+        elif r.get("key") == "parsed_on":
+            out["parsed"] = int(r.get("value", 0))
+    return out

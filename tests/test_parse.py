@@ -180,3 +180,34 @@ def test_extract_all_equivalent_to_separate_passes():
         assert fetch == want_fetch
         assert store == want_store
         assert imgs == want_imgs
+
+
+def test_extract_all_fuzz_equivalence():
+    """Hypothesis fuzz: the fused single-pass extractor must agree with the
+    three separate extractors on arbitrary tag soup."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from owlcrawler_ray.functions.parse import extract_all
+
+    frag = st.sampled_from(
+        ["<a href='/x'>", "<a href='//h.t/y'>", "<a href='http://z/w'>",
+         "<a>", "</a>", "<h1>", "</h1>", "<title>", "</title>", "<script>",
+         "</script>", "<img src='/i.png' alt='c'>", "<br/>", "<p>", "</p>",
+         "text ", "  ", "&amp;", "<", ">", "'", '"', "<div class='x'>",
+         "</div>", "<h4>", "</h4>", "<style>", "</style>", "x<y>z"]
+    )
+
+    @given(st.lists(frag, min_size=0, max_size=30))
+    @settings(max_examples=150, deadline=None)
+    def check(parts):
+        html = "".join(parts)
+        base = "http://host.test/p"
+        page, fetch, store, imgs = extract_all(html, base)
+        assert page == extract_text(html)
+        want_fetch, want_store = extract_links(html, base, lambda u: True)
+        assert fetch == want_fetch
+        assert store == want_store
+        assert imgs == extract_images(html, base)
+
+    check()

@@ -217,3 +217,17 @@ def test_sample_fraction(ray_session):
     n = _pq.read_metadata(f"{SF}/lineitem.parquet").num_rows
     got = q_sample_fraction(SF).count()
     assert 0.05 * n < got < 0.15 * n
+
+
+def test_highlight_sanitizer_and_stats_parser():
+    from owlcrawler_ray.functions.textops import parse_stats_rows, sanitize_highlight
+
+    assert (
+        sanitize_highlight("a _-_strong_-_hit_!-_strong_-_ b")
+        == "a <strong>hit</strong> b"
+    )
+    # the reference's own canned stats fixture shape
+    assert parse_stats_rows(
+        [{"key": "fetched_on", "value": 52}, {"key": "parsed_on", "value": 51}]
+    ) == {"fetched": 52, "parsed": 51}
+    assert parse_stats_rows([]) == {"fetched": 0, "parsed": 0}
