@@ -87,6 +87,10 @@ class CrawlConfig:
     ckpt_dir: str = "/tmp/owlcrawl/ckpt"
     exact_seen: bool = True
     use_cuckoo: bool = True
+    # 10^10-scale path: spill each shard's exact set to sorted parquet runs
+    # (filter-first membership); parity is unchanged (tested)
+    seen_spill: bool = False
+    seen_max_mem_urls: int = 1 << 20
     politeness: PolitenessConfig = field(default_factory=PolitenessConfig)
     checkpoint_every: int = 1
     write_images: bool = True
@@ -204,8 +208,12 @@ class Crawler:
         self.ckpt = CheckpointManager(cfg.ckpt_dir)
         seen_cls = ray.remote(num_cpus=0)(SeenShard)
         frontier_cls = ray.remote(num_cpus=0)(FrontierShard)
+        spill = (
+            os.path.join(cfg.ckpt_dir, "seen_spill") if cfg.seen_spill else None
+        )
         self.seen = [
-            seen_cls.remote(i, 1 << 16, cfg.exact_seen, cfg.use_cuckoo)
+            seen_cls.remote(i, 1 << 16, cfg.exact_seen, cfg.use_cuckoo,
+                            spill, cfg.seen_max_mem_urls)
             for i in range(cfg.num_seen_shards)
         ]
         self.frontier = [

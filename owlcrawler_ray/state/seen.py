@@ -25,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.ids import url_hash64_many
+from ..functions.ids import url_hash64, url_hash64_many
 
 _EMPTY = np.uint16(0)
 _MAX_KICKS = 500
@@ -178,35 +178,124 @@ class BloomFilter:
 
 class SeenShard:
     """One shard of the URL-seen set. Instantiated as a Ray actor by the
-    crawl pipeline (plain class here so unit tests run it in-process)."""
+    crawl pipeline (plain class here so unit tests run it in-process).
+
+    Memory model at scale (the 10^10-URL path): when ``spill_dir`` is set
+    and the in-memory exact set exceeds ``max_mem_urls``, it is flushed as
+    a SORTED parquet run of (url_hash, url). Membership then goes filter-
+    first: a cuckoo/bloom NEGATIVE is definitive (no false negatives — the
+    overfull-cuckoo edge adds the key to a tiny always-checked overflow
+    set), a POSITIVE falls back to the hot set and then binary search over
+    the sorted runs — so disk is touched only for the ~fp-rate of truly
+    unseen keys plus real hits. Snapshots concatenate runs + hot set, so
+    checkpoints and parity are unchanged."""
 
     def __init__(self, shard_id: int, capacity: int = 1 << 16,
-                 exact: bool = True, use_cuckoo: bool = True):
+                 exact: bool = True, use_cuckoo: bool = True,
+                 spill_dir: str | None = None, max_mem_urls: int = 1 << 20):
         self.shard_id = shard_id
         self.exact_enabled = exact
         self.urls: set[str] = set()
         self.filter = CuckooFilter(capacity) if use_cuckoo else BloomFilter(capacity)
         self.deletable = use_cuckoo
+        self.spill_dir = spill_dir
+        self.max_mem_urls = max_mem_urls
+        self.overflow: set[str] = set()  # cuckoo insert failures: always checked
+        self._runs: list[tuple[np.ndarray, list[str]]] = []  # (sorted hashes, urls)
+        if spill_dir:
+            import os
+
+            os.makedirs(spill_dir, exist_ok=True)
+            self._load_runs()
+
+    # -- spill machinery -------------------------------------------------
+    def _run_path(self, i: int) -> str:
+        import os
+
+        return os.path.join(self.spill_dir, f"seen_run_{self.shard_id:04d}_{i:06d}.parquet")
+
+    def _load_runs(self) -> None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        i = 0
+        while os.path.exists(self._run_path(i)):
+            t = pq.read_table(self._run_path(i))
+            self._runs.append(
+                (t.column("url_hash").to_numpy(), t.column("url").to_pylist())
+            )
+            i += 1
+
+    def _maybe_spill(self) -> None:
+        if not self.spill_dir or len(self.urls) < self.max_mem_urls:
+            return
+        import pyarrow.parquet as pq
+
+        urls = sorted(self.urls, key=url_hash64)
+        hashes = url_hash64_many(urls)
+        t = pa.table(
+            {"url_hash": pa.array(hashes, pa.uint64()),
+             "url": pa.array(urls, pa.string())}
+        )
+        path = self._run_path(len(self._runs))
+        pq.write_table(t, path + ".tmp")
+        import os
+
+        os.rename(path + ".tmp", path)
+        self._runs.append((hashes, urls))
+        self.urls = set()
+
+    def _in_runs(self, u: str) -> bool:
+        if not self._runs:
+            return False
+        h = np.uint64(url_hash64(u))
+        for hashes, urls in self._runs:
+            i = int(np.searchsorted(hashes, h))
+            while i < len(hashes) and hashes[i] == h:
+                if urls[i] == u:
+                    return True
+                i += 1
+        return False
+
+    def _exact_contains(self, u: str) -> bool:
+        if u in self.tombstones:
+            return False
+        return u in self.urls or u in self.overflow or self._in_runs(u)
 
     def contains_many(self, urls: list[str]) -> np.ndarray:
         if self.exact_enabled:
-            return np.fromiter(
-                (u in self.urls for u in urls), dtype=bool, count=len(urls)
-            )
+            if not self.spill_dir:
+                return np.fromiter(
+                    (u in self.urls for u in urls), dtype=bool, count=len(urls)
+                )
+            # filter-first: negatives are definitive, positives verified
+            mask = self.filter.contains_many(url_hash64_many(urls))
+            out = np.zeros(len(urls), dtype=bool)
+            for i, (u, m) in enumerate(zip(urls, mask)):
+                out[i] = (m and self._exact_contains(u)) or u in self.overflow
+            return out
         return self.filter.contains_many(url_hash64_many(urls))
+
+    def _known(self, u: str) -> bool:
+        if self.spill_dir:
+            return self._exact_contains(u)
+        return u in self.urls
 
     def add_many(self, urls: list[str]) -> int:
         added = 0
         hs = url_hash64_many(urls)
         for u, h in zip(urls, hs):
-            if u in self.urls:
+            if self._known(u):
                 continue
             self.urls.add(u)
             added += 1
             if self.deletable:
-                self.filter.insert(int(h))
+                if not self.filter.insert(int(h)):
+                    self.overflow.add(u)  # filter full: exact-checked forever
         if not self.deletable:
             self.filter.add_many(hs)
+        self._maybe_spill()
         return added
 
     def test_and_set_many(self, urls: list[str]) -> np.ndarray:
@@ -214,29 +303,50 @@ class SeenShard:
         out = np.zeros(len(urls), dtype=bool)
         hs = url_hash64_many(urls)
         for i, (u, h) in enumerate(zip(urls, hs)):
-            if u not in self.urls:
+            if not self._known(u):
                 self.urls.add(u)
                 if self.deletable:
-                    self.filter.insert(int(h))
+                    if not self.filter.insert(int(h)):
+                        self.overflow.add(u)
                 out[i] = True
+        self._maybe_spill()
         return out
 
     def remove_many(self, urls: list[str]) -> int:
         removed = 0
         hs = url_hash64_many(urls)
         for u, h in zip(urls, hs):
-            if u in self.urls:
-                self.urls.discard(u)
-                removed += 1
-                if self.deletable:
-                    self.filter.delete(int(h))
+            if not self._known(u):
+                continue
+            self.urls.discard(u)
+            self.overflow.discard(u)
+            if self._in_runs(u):
+                self.tombstones.add(u)
+            removed += 1
+            if self.deletable:
+                self.filter.delete(int(h))
         return removed
 
+    @property
+    def tombstones(self) -> set[str]:
+        if not hasattr(self, "_tombstones"):
+            self._tombstones = set()
+        return self._tombstones
+
     def size(self) -> int:
-        return len(self.urls)
+        n = len(self.urls) + len(self.overflow - self.urls)
+        for hashes, _ in self._runs:
+            n += len(hashes)
+        return n - len(self.tombstones)
+
+    def _all_urls(self) -> set[str]:
+        out = set(self.urls) | set(self.overflow)
+        for _, urls in self._runs:
+            out.update(urls)
+        return out - self.tombstones
 
     def snapshot(self) -> pa.Table:
-        urls = sorted(self.urls)
+        urls = sorted(self._all_urls())
         return pa.table(
             {
                 "url": pa.array(urls, type=pa.string()),
@@ -245,7 +355,17 @@ class SeenShard:
         )
 
     def restore(self, table: pa.Table) -> int:
+        if self.spill_dir:
+            import os
+
+            i = 0
+            while os.path.exists(self._run_path(i)):
+                os.remove(self._run_path(i))
+                i += 1
+        self._runs = []
         self.urls = set()
+        self.overflow = set()
+        self._tombstones = set()
         cap = max(1 << 10, table.num_rows * 2)
         self.filter = (
             CuckooFilter(cap) if self.deletable else BloomFilter(cap)

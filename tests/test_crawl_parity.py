@@ -171,3 +171,15 @@ def test_polite_mode_caps_hot_host_per_round(ray_session, tmp_path):
         assert total.get("host-0.test", 0) == SMALL_WEB.pages_on(0) + 1
     finally:
         c.shutdown()
+
+
+def test_parity_with_seen_spill(ray_session, tmp_path, oracle):
+    """The disk-spilling seen set (the 10^10-scale path) preserves exact
+    ordering/seen parity even with an absurdly small memory cap."""
+    got = _crawl(
+        str(tmp_path / "spill"), 16, seen_spill=True, seen_max_mem_urls=8
+    )
+    want_attempts = [(a["tick"], a["url"], a["status"]) for a in oracle.attempts]
+    assert got["attempts"] == want_attempts
+    assert got["order"] == oracle.fetch_order
+    assert set(got["pages"]) == oracle.seen

@@ -128,3 +128,44 @@ def test_politeness_token_bucket():
     g2 = PolitenessGate(PolitenessConfig(mode="polite", rate_per_s=1.0, burst=3.0))
     g2.restore(st)
     assert g2.admit_budget("h.test", 10, now_s=6.0) == 0
+
+
+def test_seen_shard_spill_mode(tmp_path):
+    """Disk-spill path: tiny memory cap forces sorted parquet runs; exact
+    membership, test_and_set, remove, snapshot/restore all stay correct."""
+    import os
+
+    d = str(tmp_path / "spill")
+    s = SeenShard(0, capacity=4096, spill_dir=d, max_mem_urls=100)
+    batch1, batch2, batch3 = URLS[:150], URLS[150:300], URLS[300:450]
+    s.add_many(batch1)
+    assert any(f.startswith("seen_run_") for f in os.listdir(d))  # spilled
+    assert s.contains_many(batch1).all()
+    assert not s.contains_many(batch2).any()
+    first = s.test_and_set_many(batch2)
+    assert first.all()
+    again = s.test_and_set_many(batch1 + batch2)
+    assert not again.any()
+    assert s.size() == 300
+    # add_many is idempotent across the spill boundary
+    assert s.add_many(batch1) == 0
+    s.add_many(batch3)
+    assert s.size() == 450
+    # removal with tombstones over spilled runs
+    s.remove_many(batch1[:10])
+    assert s.size() == 440
+    assert not s.contains_many(batch1[:10]).any()
+    assert s.contains_many(batch1[10:20]).all()
+    # snapshot equals logical contents; restore rebuilds identically
+    snap = s.snapshot()
+    assert snap.num_rows == 440
+    s2 = SeenShard(0, capacity=4096, spill_dir=str(tmp_path / "spill2"),
+                   max_mem_urls=100)
+    s2.restore(snap)
+    assert s2.size() == 440
+    assert s2.contains_many(batch2).all()
+    assert not s2.contains_many(batch1[:10]).any()
+    # a shard restarted over the same spill dir recovers its runs
+    s3 = SeenShard(0, capacity=4096, spill_dir=d, max_mem_urls=100)
+    spilled = sum(len(h) for h, _ in s3._runs)
+    assert spilled >= 100
