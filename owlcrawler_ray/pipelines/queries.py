@@ -1459,3 +1459,83 @@ QUERIES.update(
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# large x large join: hash-partitioned (both sides shuffle once)
+# ---------------------------------------------------------------------------
+
+def q_partitioned_join(sf_dir: str):
+    """Revenue per urgent order = orders ⋈ lineitem on orderkey, both sides
+    large -> hash-partitioned join. Uses Dataset.join (hash-partitioned on
+    the key) when available in this Ray build; the portable bucket pattern
+    (tag sides, bucket = hash(key) %% B, groupby(bucket).map_groups merge)
+    is what it compiles to conceptually. The lineitem side is pre-aggregated
+    per orderkey BEFORE the join shuffle (partial revenue per batch), so the
+    exchange carries one row per (batch, orderkey), not per lineitem."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).filter(
+        expr="o_orderpriority == '1-URGENT'"
+    ).select_columns(["o_orderkey"])
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial_rev(batch: pa.Table) -> pa.Table:
+        # per-row product in double (bit-identical across engines), then
+        # integer CENTS -> the sum is exact and order-independent, immune
+        # to the float-summation-order rounding boundary
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        cents = np.floor(
+            np.abs(rev.to_numpy(zero_copy_only=False)) * 100.0 + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {"l_orderkey": batch.column("l_orderkey"), "rev": pa.array(cents)}
+        )
+        return (
+            t.group_by("l_orderkey").aggregate([("rev", "sum")])
+            .rename_columns(["l_orderkey", "rev_p"])
+        )
+
+    li_partial = li.map_batches(partial_rev, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    joined = orders.join(
+        li_partial, join_type="inner", num_partitions=16,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def finalize_partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["o_orderkey", "rev_p"])
+            .group_by("o_orderkey").aggregate([("rev_p", "sum")])
+            .rename_columns(["o_orderkey", "rev_pp"])
+        )
+
+    agg = (
+        joined.map_batches(finalize_partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("rev_pp", alias_name="rev_raw"))
+    )
+
+    def rounder(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "revenue_cents": batch.column("rev_raw"),
+            }
+        )
+
+    return agg.map_batches(rounder, batch_format="pyarrow")
+
+
+QUERIES["partitioned_join"] = q_partitioned_join
+ORACLES["partitioned_join"] = """
+    SELECT o.o_orderkey,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderkey
+"""
