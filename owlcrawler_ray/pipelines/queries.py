@@ -530,22 +530,79 @@ def q_minhash_lsh_pairs(sf_dir: str):
 
     bands = ds.map_batches(sig_batch, batch_format="pyarrow")
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["doc_id"].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(batch.column("band_id"), pa.string()),
+            batch.column("band_hash"), "|",
+        )
+        t = pa.table({"bucket": key})
+        return (
+            t.group_by("bucket").aggregate([([], "count_all")])
+            .rename_columns(["bucket", "n_p"])
+        )
 
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
+    # bucket sizes via a cheap count-aggregate (NOT map_groups over ~5k
+    # mostly-singleton groups — per-group task overhead swamps the work);
+    # buckets with >=2 members are rare, so they broadcast as a tiny set
+    # and candidate pairs are assembled from the filtered rows
+    counts = (
+        bands.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_p", alias_name="n"))
     )
-    # distinct pairs
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    hot = {
+        r["bucket"]
+        for r in counts.filter(expr="n >= 2").take_all()
+    }
+    if not hot:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64()),
+             "n_bands": pa.array([], pa.int64())}
+        )
+    hot_ref = ray.put(hot)
+
+    def in_hot(batch: pa.Table) -> pa.Table:
+        hset = ray.get(hot_ref)
+        key = pc.binary_join_element_wise(
+            pc.cast(batch.column("band_id"), pa.string()),
+            batch.column("band_hash"), "|",
+        )
+        mask = pa.array([k in hset for k in key.to_pylist()])
+        return batch.append_column("bucket", key).filter(mask)
+
+    blocks = [
+        t for t in ray.get(
+            bands.map_batches(in_hot, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows > 0  # empty blocks may carry a pre-map schema
+    ]
+    if not blocks:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64()),
+             "n_bands": pa.array([], pa.int64())}
+        )
+    small = pa.concat_tables(blocks)
+    buckets: dict[str, list[int]] = {}
+    for did, bk in zip(small.column("doc_id").to_pylist(),
+                       small.column("bucket").to_pylist()):
+        buckets.setdefault(bk, []).append(did)
+    pair_bands: dict[tuple[int, int], int] = {}
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                p = (ms[i], ms[j])
+                pair_bands[p] = pair_bands.get(p, 0) + 1
+    items = sorted(pair_bands.items())
+    return pa.table(
+        {
+            "doc_a": pa.array([p[0] for p, _ in items], pa.int64()),
+            "doc_b": pa.array([p[1] for p, _ in items], pa.int64()),
+            "n_bands": pa.array([n for _, n in items], pa.int64()),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1411,7 +1468,13 @@ def q_ngram_jaccard_verify(sf_dir: str):
     for each candidate pair, keeping pairs >= 0.5 — the standard
     candidate->verify near-dup pipeline (pairs list is small; each pair's
     shingle sets recomputed vectorized in the verify batch)."""
-    cand = q_minhash_lsh_pairs(sf_dir)
+    cand_tbl = q_minhash_lsh_pairs(sf_dir)  # pa.Table of candidate pairs
+    n_blocks = max(2, cand_tbl.num_rows // 4096)
+    step = max(1, -(-cand_tbl.num_rows // n_blocks))
+    cand = rd.from_arrow(
+        [cand_tbl.slice(i, step) for i in range(0, max(cand_tbl.num_rows, 1), step)]
+        or [cand_tbl]
+    )
     base = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     texts = dict(zip(base.column("doc_id").to_pylist(),
                      base.column("text").to_pylist()))
