@@ -99,6 +99,10 @@ class CrawlConfig:
     # session-holding fetcher needs; the sandbox corpus fetcher is a pure
     # function of config, so task pools (False) skip per-round actor startup
     use_actor_stages: bool = False
+    # polite-mode robots: fetch /robots.txt from the (corpus) web on first
+    # contact with a host, parse + cache in the gate (St6). The reference
+    # has no robots handling, so parity mode leaves this off.
+    fetch_robots: bool = False
 
     def fingerprint(self) -> str:
         """Semantic identity of a crawl — fields that must match for a
@@ -116,6 +120,7 @@ class CrawlConfig:
             "politeness": asdict(self.politeness),
             "out_dir": self.out_dir,
             "write_images": self.write_images,
+            "fetch_robots": self.fetch_robots,
         }
         return hashlib.blake2b(
             json.dumps(d, sort_keys=True, default=str).encode(), digest_size=8
@@ -219,7 +224,16 @@ class Crawler:
         self.frontier = [
             frontier_cls.remote(i) for i in range(cfg.num_frontier_shards)
         ]
-        self.gate = PolitenessGate(cfg.politeness)
+        web_for_robots = self.web
+
+        def _robots_fetcher(host: str) -> str:
+            status, body = web_for_robots.fetch(f"http://{host}/robots.txt")
+            return body.decode("utf-8", errors="replace") if status == 200 else ""
+
+        self.gate = PolitenessGate(
+            cfg.politeness,
+            robots_fetcher=_robots_fetcher if cfg.fetch_robots else None,
+        )
         self.next_seq = 0
         self.tick = 0
         self.fetch_seq = 0

@@ -69,6 +69,9 @@ class WebConfig:
     words_per_paragraph: int = 30
     fanout: int = 2       # tree children per page (BFS depth ~ log_fanout)
     img_scale: int = 1    # multiplies image dimensions (decode weight)
+    # fraction of hosts whose /robots.txt disallows a path prefix (0 = all
+    # hosts serve an allow-all robots.txt; rules are seed-deterministic)
+    robots_frac: float = 0.0
 
     def pages_on(self, host_idx: int) -> int:
         return self.base_pages * (self.hot_factor if host_idx == 0 else 1)
@@ -105,6 +108,8 @@ class SyntheticWeb:
         if hi >= self.cfg.num_hosts:
             return None
         path = m.group(2) or "/"
+        if path == "/robots.txt":
+            return hi, -1  # special: robots document
         if path == "/":
             return hi, 0
         pm = _PAGE_RE.match(path)
@@ -121,6 +126,8 @@ class SyntheticWeb:
         loc = self.resolve(url)
         if loc is None:
             return 404, b""
+        if loc[1] == -1:
+            return 200, self.robots_txt(self.host(loc[0])).encode("utf-8")
         return 200, self.html_for(*loc).encode("utf-8")
 
     def images_on(self, host_idx: int, page_idx: int) -> list[dict]:
@@ -234,3 +241,14 @@ class SyntheticWeb:
         parts.append("<br/>")
         parts.append("</body></html>")
         return "\n".join(parts)
+
+    def robots_txt(self, host: str) -> str:
+        """Deterministic per-host robots.txt. With robots_frac > 0 a seeded
+        subset of hosts disallows one /page-K prefix; the rest allow all."""
+        cfg = self.cfg
+        rng = _rng_for(cfg.seed, "robots", host)
+        if rng.random() >= cfg.robots_frac:
+            return "User-agent: *\nDisallow:\n"
+        hi = int(host.split("-")[1].split(".")[0])
+        k = int(rng.integers(1, max(cfg.pages_on(hi) // 2, 2)))
+        return f"User-agent: *\nDisallow: /page-{k}\n"

@@ -19,10 +19,11 @@ fetchers", fetcher.go:97-99). Two modes here:
   frontier, so a hot host cannot monopolize a round (skew control at
   admission, complementing hot-host block splitting at fetch).
 
-No real robots.txt exists in the sandbox (the reference has no robots
-handling at all — SURVEY.md §2.4 St6), so rules are synthesized
-deterministically from config for tests: ``disallow`` maps host pattern ->
-path prefixes.
+Robots sources (the reference has no robots handling at all — SURVEY.md
+§2.4 St6; this is a north-rule graft): static config (``disallow`` maps
+host pattern -> path prefixes) and/or a fetched+parsed+cached per-host
+/robots.txt via ``robots_fetcher`` — the corpus web serves deterministic
+robots documents (``WebConfig.robots_frac``), a real crawler serves HTTP.
 """
 
 from __future__ import annotations
@@ -59,15 +60,39 @@ class HostBucket:
         return got
 
 
+def parse_robots(text: str) -> list[str]:
+    """Minimal robots.txt parser: Disallow prefixes under User-agent: *
+    (the subset a polite crawler must honor; Allow/crawl-delay omitted)."""
+    rules: list[str] = []
+    active = False
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            active = val == "*"
+        elif key == "disallow" and active and val:
+            rules.append(val)
+    return rules
+
+
 class PolitenessGate:
     """Held inside the crawl driver (parity mode) or one actor per frontier
     shard (polite mode — buckets are per-host and hosts are host-sharded,
-    so no cross-actor coordination is ever needed)."""
+    so no cross-actor coordination is ever needed).
 
-    def __init__(self, cfg: PolitenessConfig):
+    Robots rules come from (a) static config (``disallow``) and/or (b) a
+    ``robots_fetcher(host) -> text`` callback — the REAL path: the crawl
+    wires it to a /robots.txt fetch against the (corpus) web, parsed once
+    per host and cached here (St6)."""
+
+    def __init__(self, cfg: PolitenessConfig, robots_fetcher=None):
         self.cfg = cfg
         self.buckets: dict[str, HostBucket] = {}
         self.robots: dict[str, list[str]] = {}
+        self.robots_fetcher = robots_fetcher
 
     # -- robots ----------------------------------------------------------
     def rules_for(self, host: str) -> list[str]:
@@ -76,6 +101,11 @@ class PolitenessGate:
             for pat, prefixes in self.cfg.disallow.items():
                 if pat == host or pat == "*":
                     rules.extend(prefixes)
+            if self.robots_fetcher is not None:
+                try:
+                    rules.extend(parse_robots(self.robots_fetcher(host)))
+                except Exception:
+                    pass  # unreachable robots.txt -> allow (common practice)
             self.robots[host] = rules
         return self.robots[host]
 

@@ -183,3 +183,43 @@ def test_parity_with_seen_spill(ray_session, tmp_path, oracle):
     assert got["attempts"] == want_attempts
     assert got["order"] == oracle.fetch_order
     assert set(got["pages"]) == oracle.seen
+
+
+def test_fetched_robots_txt_respected(ray_session, tmp_path):
+    """Polite mode FETCHES /robots.txt from the web per host (parsed +
+    cached in the gate) and honors the Disallow prefixes."""
+    from owlcrawler_ray.state.politeness import PolitenessConfig, parse_robots
+
+    web_cfg = WebConfig(num_hosts=6, base_pages=8, hot_factor=2,
+                        n_seed_hosts=6, robots_frac=1.0)
+    web = SyntheticWeb(web_cfg)
+    # every host disallows one /page-K prefix (deterministic)
+    rules = {
+        web.host(i): parse_robots(web.robots_txt(web.host(i)))
+        for i in range(web_cfg.num_hosts)
+    }
+    assert all(rules.values())
+    base = str(tmp_path / "robots_fetch")
+    cfg = CrawlConfig(
+        web=web_cfg,
+        mode="polite",
+        politeness=PolitenessConfig(mode="polite", rate_per_s=5.0, burst=16.0),
+        fetch_robots=True,
+        out_dir=f"{base}/out",
+        ckpt_dir=f"{base}/ckpt",
+        fetch_concurrency=2,
+        image_concurrency=1,
+        max_rounds=100,
+    )
+    c, _ = run_crawl(cfg)
+    try:
+        from urllib.parse import urlsplit
+
+        urls = [p["url"] for p in c.pages_table().to_pylist()]
+        assert urls
+        for u in urls:
+            parts = urlsplit(u)
+            for prefix in rules[parts.netloc]:
+                assert not parts.path.startswith(prefix), (u, prefix)
+    finally:
+        c.shutdown()
