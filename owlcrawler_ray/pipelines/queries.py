@@ -260,6 +260,16 @@ def q_pricing_summary(sf_dir: str):
     )
     cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
 
+    def _units(arr, factor: float) -> pa.Array:
+        # per-row double -> integer units (half away from zero): the int64
+        # sums are exact and ORDER-INDEPENDENT, so partial aggregation can
+        # never disagree with the oracle's summation order (a plain
+        # round(sum(double)) hits half-way boundaries at scale — observed)
+        x = arr.to_numpy(zero_copy_only=False)
+        return pa.array(
+            (np.sign(x) * np.floor(np.abs(x) * factor + 0.5)).astype(np.int64)
+        )
+
     def partial(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff))
         disc_price = pc.multiply(
@@ -270,10 +280,10 @@ def q_pricing_summary(sf_dir: str):
             {
                 "l_returnflag": batch.column("l_returnflag"),
                 "l_linestatus": batch.column("l_linestatus"),
-                "qty": batch.column("l_quantity"),
-                "base": batch.column("l_extendedprice"),
-                "disc_price": disc_price,
-                "disc": batch.column("l_discount"),
+                "qty": _units(batch.column("l_quantity"), 100.0),
+                "base": _units(batch.column("l_extendedprice"), 100.0),
+                "disc_price": _units(disc_price, 100.0),
+                "disc": _units(batch.column("l_discount"), 1e6),
             }
         )
         return (
@@ -298,15 +308,19 @@ def q_pricing_summary(sf_dir: str):
 
     def finalize(batch: pa.Table) -> pa.Table:
         n = batch.column("count_order").to_numpy().astype(np.float64)
+        qty_u = batch.column("sum_qty_raw").to_numpy().astype(np.float64)
+        base_u = batch.column("sum_base_raw").to_numpy().astype(np.float64)
+        dp_u = batch.column("sum_dp_raw").to_numpy().astype(np.float64)
+        disc_u = batch.column("sum_disc_raw").to_numpy().astype(np.float64)
         return pa.table(
             {
                 "l_returnflag": batch.column("l_returnflag"),
                 "l_linestatus": batch.column("l_linestatus"),
-                "sum_qty": _round_half_away(batch.column("sum_qty_raw").to_numpy(), 2),
-                "sum_base_price": _round_half_away(batch.column("sum_base_raw").to_numpy(), 2),
-                "sum_disc_price": _round_half_away(batch.column("sum_dp_raw").to_numpy(), 2),
-                "avg_qty": _round_half_away(batch.column("sum_qty_raw").to_numpy() / n, 4),
-                "avg_disc": _round_half_away(batch.column("sum_disc_raw").to_numpy() / n, 6),
+                "sum_qty": qty_u / 100.0,
+                "sum_base_price": base_u / 100.0,
+                "sum_disc_price": dp_u / 100.0,
+                "avg_qty": _round_half_away(qty_u / n / 100.0, 4),
+                "avg_disc": _round_half_away(disc_u / n / 1e6, 6),
                 "count_order": batch.column("count_order"),
             }
         )
@@ -367,9 +381,12 @@ def q_events_hourly(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        # milli-units: exact, order-independent int sums (see pricing_summary)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        milli = (np.sign(v) * np.floor(np.abs(v) * 1000.0 + 0.5)).astype(np.int64)
         t = pa.table(
             {"user_id": batch.column("user_id"), "hour": hour,
-             "value": batch.column("value")}
+             "value": pa.array(milli)}
         )
         return (
             t.group_by(["user_id", "hour"])
@@ -389,7 +406,8 @@ def q_events_hourly(sf_dir: str):
                 "user_id": batch.column("user_id"),
                 "hour": batch.column("hour"),
                 "n_events": batch.column("n_events"),
-                "sum_value": _round_half_away(batch.column("sum_v").to_numpy(), 3),
+                "sum_value": batch.column("sum_v").to_numpy().astype(np.float64)
+                / 1000.0,
             }
         )
 
@@ -723,11 +741,16 @@ ORACLES = {
     """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_quantity) / count(*), 4) AS avg_qty,
-               round(sum(l_discount) / count(*), 6) AS avg_disc,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_base_price,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc_price,
+               round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+                     / count(*) / 100.0, 4) AS avg_qty,
+               round(CAST(sum(CAST(round(l_discount * 1000000) AS BIGINT)) AS DOUBLE)
+                     / count(*) / 1000000.0, 6) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -746,7 +769,9 @@ ORACLES = {
     """,
     "events_hourly": """
         SELECT user_id, date_trunc('hour', ts) AS hour,
-               count(*) AS n_events, round(sum(value), 3) AS sum_value
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS DOUBLE)
+                   / 1000.0 AS sum_value
         FROM events GROUP BY user_id, date_trunc('hour', ts)
     """,
     "distinct_types": """
