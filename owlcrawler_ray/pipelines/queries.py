@@ -55,6 +55,18 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(_p(sf_dir, table), columns=columns)
 
 
+def _pool_size(frac: float = 0.5, lo: int = 1) -> tuple[int, int]:
+    """Actor-pool sizing derived from the cluster CPU count. A hard-coded
+    (1, 2) pool starves a 32-cpu node (measured in BENCH_r01: decode
+    stages pinned at 2 actors); scale the ceiling with the cluster and
+    let Ray's autoscaling pool pick within [lo, hi]."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:  # not initialised yet (import-time callers)
+        cpus = 4
+    return (lo, max(lo + 1, int(cpus * frac)))
+
+
 # ---------------------------------------------------------------------------
 # A3 + F4: word inverted index
 # ---------------------------------------------------------------------------
@@ -167,19 +179,30 @@ def q_exact_dedup(sf_dir: str):
 
 def q_anti_join_unseen(sf_dir: str):
     """orders with no lineitems = orders ∖ lineitem on orderkey. The
-    probe-side KEY SET is broadcast via ray.put once (sorted for
+    build-side KEY SET is distilled to uniques DISTRIBUTED (per-batch
+    partial unique, tiny driver merge of the partials — never the raw
+    build table on the driver) and broadcast via ray.put once (sorted for
     searchsorted); each batch filters vectorized — the batched form of the
     reference's per-link HEAD anti-semi-join (at 100 TB the broadcast
     becomes a Bloom filter of the key set + exact recheck of positives)."""
+    key_partials = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey"])
+        .map_batches(
+            lambda b: pa.table({"l_orderkey": pc.unique(b.column("l_orderkey"))}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .to_arrow_refs()
+    )
     seen_keys = np.unique(
-        pq.read_table(_p(sf_dir, "lineitem"), columns=["l_orderkey"])
-        .column("l_orderkey").to_numpy()
+        pa.concat_tables(ray.get(key_partials)).column("l_orderkey").to_numpy()
     )
     ref = ray.put(seen_keys)
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
     def anti(batch: pa.Table) -> pa.Table:
         keys = ray.get(ref)
+        if len(keys) == 0:  # empty build side: every probe row passes
+            return batch
         probe = batch.column("o_orderkey").to_numpy()
         pos = np.searchsorted(keys, probe)
         pos = np.minimum(pos, len(keys) - 1)
@@ -355,21 +378,23 @@ def q_filter_scan(sf_dir: str):
 
 def q_broadcast_join(sf_dir: str):
     """orders ⋈ customer with the dimension side broadcast once (ray.put)
-    and merged per batch — no shuffle of the fact table."""
+    and merged per batch via pa.Table.join — zero-copy Arrow throughout,
+    no shuffle of the fact table and no pandas round-trip."""
     cust = pq.read_table(
         _p(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_mktsegment"]
-    ).to_pandas()
+    )
     ref = ray.put(cust)
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
-    def join(batch: pd.DataFrame) -> pd.DataFrame:
+    def join(batch: pa.Table) -> pa.Table:
         dim = ray.get(ref)
-        out = batch[batch["o_totalprice"] > 150000].merge(
-            dim, left_on="o_custkey", right_on="c_custkey", how="inner"
-        )
-        return out[["o_orderkey", "c_name", "c_mktsegment", "o_totalprice"]]
+        out = batch.filter(
+            pc.greater(batch.column("o_totalprice"), 150000)
+        ).join(dim, keys=["o_custkey"], right_keys=["c_custkey"],
+               join_type="inner")
+        return out.select(["o_orderkey", "c_name", "c_mktsegment", "o_totalprice"])
 
-    return ds.map_batches(join, batch_format="pandas")
+    return ds.map_batches(join, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1080,7 +1105,7 @@ def q_images_decode_stats(sf_dir: str):
 
     return (
         ds.map_batches(DecodeValidate, batch_format="pyarrow", batch_size=64,
-                       concurrency=(1, 2))
+                       concurrency=_pool_size())
         .groupby("fmt")
         .aggregate(
             Sum("n_p", alias_name="n_images"),
@@ -1262,8 +1287,8 @@ def q_search(sf_dir: str):
 QUERIES["search"] = q_search
 ORACLES["search"] = f"""
     SELECT doc_id,
-           (length(text) - length(replace(text, '{SEARCH_TERM}', '')))
-               / length('{SEARCH_TERM}') AS score,
+           CAST((length(text) - length(replace(text, '{SEARCH_TERM}', '')))
+               / length('{SEARCH_TERM}') AS BIGINT) AS score,
            substring(text, greatest(strpos(text, '{SEARCH_TERM}') - 40, 1), 150)
                AS highlight
     FROM documents
@@ -1380,7 +1405,7 @@ def q_images_thumbnails(sf_dir: str):
     ds = _images_input(sf_dir)
     thumbs = ds.map_batches(
         Thumbnailer, fn_constructor_args=(32, 32, "jpeg"),
-        batch_format="pyarrow", batch_size=64, concurrency=(1, 2),
+        batch_format="pyarrow", batch_size=64, concurrency=_pool_size(),
     )
 
     def stats(batch: pa.Table) -> pa.Table:
@@ -1453,7 +1478,7 @@ def q_video_frame_sample(sf_dir: str):
 
     return _videos_input(sf_dir).map_batches(
         VideoFrameSampler, fn_constructor_args=(2, 8, "png"),
-        batch_format="pyarrow", batch_size=16, concurrency=(1, 2),
+        batch_format="pyarrow", batch_size=16, concurrency=_pool_size(),
     )
 
 
@@ -1484,7 +1509,8 @@ def q_audio_features(sf_dir: str):
     from ..stages.multimodal import AudioFeatures
 
     return _audio_input(sf_dir).map_batches(
-        AudioFeatures, batch_format="pyarrow", batch_size=64, concurrency=(1, 2),
+        AudioFeatures, batch_format="pyarrow", batch_size=64,
+        concurrency=_pool_size(),
     ).select_columns(["clip_id", "n_samples", "rms", "zcr", "peak"])
 
 
@@ -1576,9 +1602,11 @@ def q_partitioned_join(sf_dir: str):
             batch.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
         )
-        cents = np.floor(
-            np.abs(rev.to_numpy(zero_copy_only=False)) * 100.0 + 0.5
-        ).astype(np.int64)
+        x = rev.to_numpy(zero_copy_only=False)
+        # sign-preserving half-away-from-zero cents (same helper shape as
+        # _units in q_pricing_summary — floor(abs)*sign, not plain floor,
+        # so negative amounts round identically to the oracle's round())
+        cents = (np.sign(x) * np.floor(np.abs(x) * 100.0 + 0.5)).astype(np.int64)
         t = pa.table(
             {"l_orderkey": batch.column("l_orderkey"), "rev": pa.array(cents)}
         )
