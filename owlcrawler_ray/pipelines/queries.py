@@ -718,6 +718,32 @@ _MH_COLS = ", ".join(
 )
 _BAND_CASE = " ".join(f"WHEN {k} THEN mh{k}" for k in range(N_PERM))
 
+# shared CTE chain: clone-union corpus -> 3-word shingles -> minhash sig ->
+# LSH bands (used by both minhash_lsh_pairs and ngram_jaccard_verify so the
+# two oracles can never drift apart)
+_MINHASH_CTES = f"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, text || ' nearly identical tail'
+        FROM documents WHERE doc_id < 25
+    ),
+    words AS (SELECT doc_id, str_split(text, ' ') AS ws FROM base),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(ws) - 2, 1)),
+                   i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+        FROM words
+    ),
+    sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, band_id,
+               CASE band_id {_BAND_CASE} END AS band_hash
+        FROM sig, (SELECT unnest(generate_series(0, {N_PERM - 1})) AS band_id)
+    )
+"""
+
 ORACLES = {
     "word_index": """
         SELECT word,
@@ -817,27 +843,7 @@ ORACLES = {
     "lang_distribution": """
         SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
     """,
-    "minhash_lsh_pairs": f"""
-        WITH base AS (
-            SELECT doc_id, text FROM documents
-            UNION ALL
-            SELECT doc_id + 200000, text || ' nearly identical tail'
-            FROM documents WHERE doc_id < 25
-        ),
-        words AS (SELECT doc_id, str_split(text, ' ') AS ws FROM base),
-        sh AS (
-            SELECT doc_id,
-                   unnest(list_transform(
-                       generate_series(1, greatest(len(ws) - 2, 1)),
-                       i -> array_to_string(ws[i:i+2], ' '))) AS shingle
-            FROM words
-        ),
-        sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
-        bands AS (
-            SELECT doc_id, band_id,
-                   CASE band_id {_BAND_CASE} END AS band_hash
-            FROM sig, (SELECT unnest(generate_series(0, {N_PERM - 1})) AS band_id)
-        )
+    "minhash_lsh_pairs": _MINHASH_CTES + """
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
         FROM bands a
         JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
@@ -859,43 +865,123 @@ ORACLES = {
 # embedding near-dup (graft; exact clones -> SQL-oracle-able)
 # ---------------------------------------------------------------------------
 
-def q_embedding_near_dup(sf_dir: str):
-    """Embedding-cosine near-dup pairs (threshold 0.999). The full
-    normalized matrix is broadcast once and each batch does one blocked
-    matmul against it — O(N^2 / B) vectorized work per batch. At 10^10
-    rows the broadcast becomes LSH bucketing (see q_ann_ivf) + within-
-    bucket verification; the threshold margin (clones ~1.0 vs random
-    64-dim cosines < 0.9) keeps float32/float64 engine differences moot."""
-    emb = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    ids_np = emb.column("vec_id").to_numpy()
-    mat = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)
-    clone_mask = ids_np < 20
-    all_ids = np.concatenate([ids_np, ids_np[clone_mask] + 10000])
-    all_mat = np.vstack([mat, mat[clone_mask]])
-    all_mat = all_mat / np.maximum(
-        np.linalg.norm(all_mat, axis=1, keepdims=True), 1e-12
-    )
-    ref = ray.put((all_ids, all_mat))
-    ds = rd.from_arrow(
-        pa.table({"vec_id": all_ids, "row": np.arange(len(all_ids))})
-    )
+_EMB_PAIR_SCHEMA = pa.schema(
+    [("vec_a", pa.int64()), ("vec_b", pa.int64())]
+)
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        aids, amat = ray.get(ref)
-        rows = batch.column("row").to_numpy()
-        cos = amat[rows] @ amat.T  # (b, N)
-        out_a, out_b = [], []
-        for r, vid in zip(range(len(rows)), batch.column("vec_id").to_numpy()):
-            js = np.where(cos[r] > 0.999)[0]
-            for j in js:
-                if aids[j] > vid:
-                    out_a.append(vid)
-                    out_b.append(aids[j])
+
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (threshold 0.999), LSH-bucketed —
+    the 10^10-row shape. Seeded random-hyperplane codes (L=4 tables x 16
+    bits, planes broadcast once) route each vector to L (table|code)
+    buckets; bucket sizes come from a cheap count-aggregate (the only
+    shuffle, over tiny (bucket, count) partials); >=2-member buckets are
+    rare (near-dups only — random 64-dim cosines stay < 0.9, far from a
+    16-bit code collision), so they broadcast as a tiny hot set and exact
+    cosine verification runs ONLY on the filtered hot-bucket rows. No
+    full-matrix broadcast, no N^2 scan, no whole-corpus driver read.
+    A cos>=0.999 pair (angle <= 2.6 deg; per-plane agreement ~0.986)
+    shares a full 16-bit code in >=1 of 4 tables with prob
+    1-(1-0.986^16)^4 ~ 0.998; the planted clones are EXACT copies, so
+    their codes agree in every table and recall is 1.0 (oracle-checked)."""
+    L, bits, thresh = 4, 16, 0.999
+    meta = pq.ParquetFile(_p(sf_dir, "embeddings"))
+    dim = len(
+        meta.read_row_group(0, columns=["embedding"]).column("embedding")[0]
+    )
+    rng = np.random.default_rng(4321)
+    planes = rng.normal(size=(L, bits, dim))
+    pref = ray.put(planes)
+
+    base = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    clones = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).filter(
+        expr="vec_id < 20"
+    ).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("vec_id"),
+            "vec_id",
+            pc.add(t.column("vec_id"), 10000),
+        ),
+        batch_format="pyarrow",
+    )
+    ds = base.union(clones)
+
+    def code_rows(batch: pa.Table) -> pa.Table:
+        pls = ray.get(pref)
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        ids = batch.column("vec_id").to_numpy()
+        weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+        buckets = []
+        for t in range(L):
+            codes = ((mat @ pls[t].T) > 0).astype(np.uint64) @ weights
+            buckets.extend(f"{t}|{int(c)}" for c in codes)
+        take_idx = np.tile(np.arange(len(ids)), L)
         return pa.table(
-            {"vec_a": pa.array(out_a, pa.int64()), "vec_b": pa.array(out_b, pa.int64())}
+            {
+                "bucket": pa.array(buckets, pa.string()),
+                "vec_id": pa.array(np.tile(ids, L)),
+                "embedding": batch.column("embedding").take(pa.array(take_idx)),
+            }
         )
 
-    return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+    coded = ds.map_batches(code_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        return (
+            pa.table({"bucket": batch.column("bucket")})
+            .group_by("bucket").aggregate([([], "count_all")])
+            .rename_columns(["bucket", "n_p"])
+        )
+
+    counts = (
+        coded.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket").aggregate(Sum("n_p", alias_name="n"))
+    )
+    hot = {r["bucket"] for r in counts.filter(expr="n >= 2").take_all()}
+    if not hot:
+        return _EMB_PAIR_SCHEMA.empty_table()
+    hot_ref = ray.put(hot)
+
+    def in_hot(batch: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        mask = pa.array([b in hs for b in batch.column("bucket").to_pylist()])
+        return batch.filter(mask)
+
+    blocks = [
+        t for t in ray.get(
+            coded.map_batches(in_hot, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows > 0
+    ]
+    if not blocks:
+        return _EMB_PAIR_SCHEMA.empty_table()
+    small = pa.concat_tables(blocks)  # O(hot-bucket members), tiny
+    members: dict[str, list[tuple[int, np.ndarray]]] = {}
+    for bk, vid, emb_l in zip(small.column("bucket").to_pylist(),
+                              small.column("vec_id").to_pylist(),
+                              small.column("embedding").to_pylist()):
+        members.setdefault(bk, []).append((vid, np.asarray(emb_l, np.float64)))
+    pairs: set[tuple[int, int]] = set()
+    for ms in members.values():
+        ms = sorted(ms, key=lambda x: x[0])
+        for i in range(len(ms)):
+            vi, ei = ms[i]
+            ei = ei / max(np.linalg.norm(ei), 1e-12)
+            for j in range(i + 1, len(ms)):
+                vj, ej = ms[j]
+                if vi == vj:
+                    continue
+                ej = ej / max(np.linalg.norm(ej), 1e-12)
+                if float(ei @ ej) > thresh:
+                    pairs.add((vi, vj))
+    items = sorted(pairs)
+    return pa.table(
+        {
+            "vec_a": pa.array([p[0] for p in items], pa.int64()),
+            "vec_b": pa.array([p[1] for p in items], pa.int64()),
+        }
+    )
 
 
 QUERIES["embedding_near_dup"] = q_embedding_near_dup
@@ -1517,52 +1603,101 @@ def q_audio_features(sf_dir: str):
 def q_ngram_jaccard_verify(sf_dir: str):
     """Verification stage after MinHash-LSH: true 3-word-shingle Jaccard
     for each candidate pair, keeping pairs >= 0.5 — the standard
-    candidate->verify near-dup pipeline (pairs list is small; each pair's
-    shingle sets recomputed vectorized in the verify batch)."""
+    candidate->verify near-dup pipeline.
+
+    Scale shape (no whole-corpus driver materialization): the CANDIDATE
+    doc-id set (small side — O(pairs), not O(corpus)) is broadcast once;
+    the clone-union corpus streams through a map_batches that emits a
+    shingle-set row ONLY for candidate docs; those bounded rows feed an
+    actor-pool verify stage that builds its doc->shingles index once in
+    __init__ (per actor, from the ray.put handle) and scores each
+    candidate-pair batch against it. At 10^10 docs the corpus pass stays
+    a stream and everything driver-side is O(candidate pairs)."""
     cand_tbl = q_minhash_lsh_pairs(sf_dir)  # pa.Table of candidate pairs
+    if cand_tbl.num_rows == 0:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    need = np.unique(
+        np.concatenate(
+            [cand_tbl.column("doc_a").to_numpy(), cand_tbl.column("doc_b").to_numpy()]
+        )
+    )
+    need_ref = ray.put(need)  # sorted for searchsorted membership
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        nd = ray.get(need_ref)
+        ids = batch.column("doc_id").to_numpy()
+        pos = np.searchsorted(nd, ids)
+        pos = np.minimum(pos, len(nd) - 1)
+        mask = nd[pos] == ids
+        kept = batch.filter(pa.array(mask))
+        out_id, out_sh = [], []
+        for did, text in zip(kept.column("doc_id").to_pylist(),
+                             kept.column("text").to_pylist()):
+            ws = text.split(" ")
+            out_id.append(did)
+            out_sh.append(sorted({
+                " ".join(ws[i - 1 : i + 2])
+                for i in range(1, max(len(ws) - 2, 1) + 1)
+            }))
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "shingles": pa.array(out_sh, pa.list_(pa.string()))}
+        )
+
+    sh_blocks = [
+        t for t in ray.get(
+            _near_clone_union(sf_dir)
+            .map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
+            .to_arrow_refs()
+        )
+        if t.num_rows > 0
+    ]
+    sh_ref = ray.put(pa.concat_tables(sh_blocks))  # O(candidate docs) only
+
     n_blocks = max(2, cand_tbl.num_rows // 4096)
     step = max(1, -(-cand_tbl.num_rows // n_blocks))
     cand = rd.from_arrow(
-        [cand_tbl.slice(i, step) for i in range(0, max(cand_tbl.num_rows, 1), step)]
-        or [cand_tbl]
+        [cand_tbl.slice(i, step) for i in range(0, cand_tbl.num_rows, step)]
     )
-    base = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    texts = dict(zip(base.column("doc_id").to_pylist(),
-                     base.column("text").to_pylist()))
-    for did in list(texts):
-        if did < 25:
-            texts[did + 200000] = texts[did] + " nearly identical tail"
-    ref = ray.put(texts)
 
-    def verify(batch: pa.Table) -> pa.Table:
-        tx = ray.get(ref)
+    class Verify:
+        """Stateful verify: the doc->shingle-set index is built ONCE per
+        actor from the broadcast table, not per batch."""
 
-        def shingles(did):
-            ws = tx[did].split(" ")
-            return {
-                " ".join(ws[i - 1 : i + 2])
-                for i in range(1, max(len(ws) - 2, 1) + 1)
+        def __init__(self, handle):
+            t = ray.get(handle)
+            self.sets = {
+                did: frozenset(sl)
+                for did, sl in zip(t.column("doc_id").to_pylist(),
+                                   t.column("shingles").to_pylist())
             }
 
-        a_l = batch.column("doc_a").to_pylist()
-        b_l = batch.column("doc_b").to_pylist()
-        keep_a, keep_b, jac = [], [], []
-        for a, b in zip(a_l, b_l):
-            sa, sb = shingles(a), shingles(b)
-            j = len(sa & sb) / max(len(sa | sb), 1)
-            if j >= 0.5:
-                keep_a.append(a)
-                keep_b.append(b)
-                jac.append(round(j, 6))
-        return pa.table(
-            {
-                "doc_a": pa.array(keep_a, pa.int64()),
-                "doc_b": pa.array(keep_b, pa.int64()),
-                "jaccard": pa.array(jac, pa.float64()),
-            }
-        )
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep_a, keep_b, jac = [], [], []
+            for a, b in zip(batch.column("doc_a").to_pylist(),
+                            batch.column("doc_b").to_pylist()):
+                sa, sb = self.sets[a], self.sets[b]
+                j = len(sa & sb) / max(len(sa | sb), 1)
+                if j >= 0.5:
+                    keep_a.append(a)
+                    keep_b.append(b)
+                    jac.append(float(_round_half_away(np.array([j]), 6)[0]))
+            return pa.table(
+                {
+                    "doc_a": pa.array(keep_a, pa.int64()),
+                    "doc_b": pa.array(keep_b, pa.int64()),
+                    "jaccard": pa.array(jac, pa.float64()),
+                }
+            )
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return cand.map_batches(
+        Verify, fn_constructor_args=(sh_ref,), batch_format="pyarrow",
+        concurrency=_pool_size(frac=0.25),
+    )
 
 
 QUERIES.update(
@@ -1573,6 +1708,33 @@ QUERIES.update(
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
     }
 )
+
+# ngram_jaccard_verify is SQL-expressible via the shared minhash CTE chain:
+# candidates from the band join, then set Jaccard over DISTINCT shingles.
+ORACLES["ngram_jaccard_verify"] = _MINHASH_CTES + """
+    , cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_int
+        FROM cand c
+        JOIN shd a ON a.doc_id = c.doc_a
+        JOIN shd b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_int AS DOUBLE) / (sa.n + sb.n - i.n_int), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_int AS DOUBLE) / (sa.n + sb.n - i.n_int) >= 0.5
+"""
 
 
 # ---------------------------------------------------------------------------
