@@ -114,6 +114,75 @@ def hamming64_many(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return cnt
 
 
+_PRE_TAG = "_-_strong_-_"
+_POST_TAG = "_!-_strong_-_"
+
+
+def es_fragments(
+    text: str,
+    terms: tuple[str, ...],
+    frag_size: int = 150,
+    n_frags: int = 3,
+    lead: int = 40,
+) -> list[tuple[int, int, str]]:
+    """The reference's ES highlight model re-expressed deterministically
+    (elastic_search.go:123-154: fragment_size=150, number_of_fragments=3,
+    order=score, highlight_query = match(terms) + match_phrase slop 1
+    boost 10, sentinel pre/post tags sanitized to <strong> by the webapp,
+    webapp/main.go:137-141).
+
+    Fragmentation rule (deterministic stand-in for ES's FVH): walk term
+    hits left to right; each fragment is the 150-char window starting 40
+    chars before its first uncovered hit; every hit fully inside the
+    window joins the fragment. Fragment score = term hits inside + 10 x
+    slop-1 phrase matches fully inside. Fragments are returned ordered by
+    (score desc, start asc), top n_frags, with every term hit wrapped in
+    <strong>..</strong>.
+
+    Returns [(score, start_offset, highlighted_fragment)].
+    """
+    term_re = re.compile("|".join(re.escape(t) for t in terms))
+    phrase_re = (
+        re.compile(
+            re.escape(terms[0]) + r"( [a-z]+)? " + re.escape(terms[1])
+        )
+        if len(terms) >= 2
+        else None
+    )
+    hits = list(term_re.finditer(text))
+    if not hits:
+        return []
+    phrase_spans = (
+        [(m.start(), m.end()) for m in phrase_re.finditer(text)]
+        if phrase_re is not None
+        else []
+    )
+    frags: list[tuple[int, int, int, list]] = []
+    i = 0
+    while i < len(hits):
+        start = max(hits[i].start() - lead, 0)
+        end = start + frag_size
+        inside = []
+        while i < len(hits) and hits[i].end() <= end:
+            inside.append(hits[i])
+            i += 1
+        if not inside:  # a hit longer than the window: take it alone
+            inside.append(hits[i])
+            end = hits[i].end()
+            i += 1
+        n_phrase = sum(1 for s, e in phrase_spans if s >= start and e <= end)
+        frags.append((len(inside) + 10 * n_phrase, start, end, inside))
+    frags.sort(key=lambda f: (-f[0], f[1]))
+    out = []
+    for score, start, end, inside in frags[:n_frags]:
+        seg = text[start:end]
+        for m in reversed(inside):  # right-to-left keeps offsets valid
+            s, e = m.start() - start, m.end() - start
+            seg = seg[:s] + _PRE_TAG + seg[s:e] + _POST_TAG + seg[e:]
+        out.append((score, start, sanitize_highlight(seg)))
+    return out
+
+
 def sanitize_highlight(s: str) -> str:
     """The webapp's highlight sanitizer (reference webapp/main.go:137-141):
     replace the ES sentinel markers with real <strong> tags."""

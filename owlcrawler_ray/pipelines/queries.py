@@ -1385,6 +1385,118 @@ ORACLES["search"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# A4/M7 full scoring model: match + slop-1 phrase boost (x10) + top-3
+# score-ordered highlight fragments (elastic_search.go:111-157)
+# ---------------------------------------------------------------------------
+
+SEARCH_PHRASE = ("window", "merge")
+_PHRASE_RE = re.compile(
+    re.escape(SEARCH_PHRASE[0]) + r"( [a-z]+)? " + re.escape(SEARCH_PHRASE[1])
+)
+
+
+def q_search_es(sf_dir: str):
+    """The reference's ES relevance model re-expressed deterministically
+    (elastic_search.go:123-154): score = tf(term1) + tf(term2) + 10 x
+    slop-1 phrase matches ('w1 w2' or 'w1 X w2' — the boosted
+    match_phrase with phrase_slop 1, boost 10.0). Top 10 by (score desc,
+    doc_id). Single scan, local prune, tiny global sort — same scale
+    shape as q_search."""
+    w1, w2 = SEARCH_PHRASE
+    k = 10
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids_l, scores = [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            s = text.count(w1) + text.count(w2) \
+                + 10 * len(_PHRASE_RE.findall(text))
+            if s > 0:
+                ids_l.append(did)
+                scores.append(s)
+        t = pa.table(
+            {"doc_id": pa.array(ids_l, pa.int64()),
+             "score": pa.array(scores, pa.int64())}
+        )
+        if t.num_rows > k:
+            idx = pc.select_k_unstable(
+                t, k=k, sort_keys=[("score", "descending"),
+                                   ("doc_id", "ascending")],
+            )
+            t = t.take(idx)
+        return t
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+QUERIES["search_es"] = q_search_es
+ORACLES["search_es"] = f"""
+    SELECT doc_id,
+           CAST((length(text) - length(replace(text, '{SEARCH_PHRASE[0]}', '')))
+                    / length('{SEARCH_PHRASE[0]}')
+              + (length(text) - length(replace(text, '{SEARCH_PHRASE[1]}', '')))
+                    / length('{SEARCH_PHRASE[1]}')
+              + 10 * len(regexp_extract_all(text,
+                    '{SEARCH_PHRASE[0]}( [a-z]+)? {SEARCH_PHRASE[1]}'))
+              AS BIGINT) AS score
+    FROM documents
+    WHERE strpos(text, '{SEARCH_PHRASE[0]}') > 0
+       OR strpos(text, '{SEARCH_PHRASE[1]}') > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+"""
+
+
+def q_search_highlights(sf_dir: str):
+    """Top-3 score-ordered 150-char highlight fragments for the top-10
+    phrase-search hits, <strong>-wrapped via the webapp sanitizer — the
+    highlight half of the reference's ES query (fragment_size 150,
+    number_of_fragments 3, order=score). The top-10 doc-id set (bounded,
+    k=10) is broadcast; fragments are computed in the documents stream.
+    Rows-only (fragmentation is not SQL-expressible); golden-tested in
+    tests/test_parse.py-style pytest against es_fragments directly."""
+    from ..functions.textops import es_fragments
+
+    hits = q_search_es(sf_dir).to_pandas()
+    rank = {int(d): r for r, d in enumerate(hits["doc_id"])}
+    ids_ref = ray.put(rank)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def frags(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        out_id, out_rank, out_score, out_frag = [], [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            if did not in wanted:
+                continue
+            for fr, (fscore, _start, frag) in enumerate(
+                es_fragments(text, SEARCH_PHRASE)
+            ):
+                out_id.append(did)
+                out_rank.append(fr)
+                out_score.append(fscore)
+                out_frag.append(frag)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "frag_rank": pa.array(out_rank, pa.int32()),
+                "frag_score": pa.array(out_score, pa.int64()),
+                "fragment": pa.array(out_frag, pa.string()),
+            }
+        )
+
+    return ds.map_batches(frags, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["search_highlights"] = q_search_highlights
+
+
+# ---------------------------------------------------------------------------
 # BPE-ish tokenization (SQL-oracled via regexp_extract_all)
 # ---------------------------------------------------------------------------
 

@@ -231,3 +231,52 @@ def test_highlight_sanitizer_and_stats_parser():
         [{"key": "fetched_on", "value": 52}, {"key": "parsed_on", "value": 51}]
     ) == {"fetched": 52, "parsed": 51}
     assert parse_stats_rows([]) == {"fetched": 0, "parsed": 0}
+
+
+def test_es_fragments_golden():
+    from owlcrawler_ray.functions.textops import es_fragments
+
+    # one slop-1 phrase ("window gap merge") + a lone trailing hit far away
+    text = (
+        "aaa window gap merge bbb " + "x" * 200 + " merge tail"
+    )
+    frags = es_fragments(text, ("window", "merge"), frag_size=150, n_frags=3)
+    # two fragments: the phrase window (2 hits + 10 boost) and the tail hit
+    assert [f[0] for f in frags] == [12, 1]
+    assert frags[0][1] == 0  # first hit at offset 4, lead 40 clamps to 0
+    assert frags[0][2].startswith(
+        "aaa <strong>window</strong> gap <strong>merge</strong> bbb"
+    )
+    assert "<strong>merge</strong>" in frags[1][2]
+    # deterministic: same input -> same output
+    assert frags == es_fragments(text, ("window", "merge"))
+    # adjacent phrase also boosted; reversed order is not
+    assert es_fragments("window merge", ("window", "merge"))[0][0] == 12
+    assert es_fragments("merge then window", ("window", "merge"))[0][0] == 2
+    assert es_fragments("no hits here", ("window", "merge")) == []
+
+
+def test_search_highlights_contract(ray_session):
+    from owlcrawler_ray.pipelines.queries import (
+        QUERIES,
+        SEARCH_PHRASE,
+        q_search_es,
+    )
+
+    hits = q_search_es(SF).to_pandas()
+    top = set(hits["doc_id"].astype(int))
+    df = QUERIES["search_highlights"](SF).to_pandas()
+    assert set(df["doc_id"].astype(int)) <= top
+    assert set(df["doc_id"].astype(int)) == top  # every hit gets fragments
+    for did, g in df.groupby("doc_id"):
+        g = g.sort_values("frag_rank")
+        assert list(g["frag_rank"]) == list(range(len(g)))
+        assert len(g) <= 3
+        # score-ordered fragments, descending
+        scores = list(g["frag_score"])
+        assert scores == sorted(scores, reverse=True)
+        for frag in g["fragment"]:
+            assert "<strong>" in frag and "</strong>" in frag
+            bare = frag.replace("<strong>", "").replace("</strong>", "")
+            assert len(bare) <= 150
+            assert any(t in bare for t in SEARCH_PHRASE)
