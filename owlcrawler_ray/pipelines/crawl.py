@@ -675,6 +675,18 @@ class Crawler:
         self.gate.restore(
             {h: tuple(v) for h, v in manifest.get("politeness", {}).items()}
         )
+        # discard output rounds NEWER than the restored checkpoint: a kill
+        # inside the checkpoint_every window leaves committed round dirs the
+        # resumed run will re-produce — possibly with DIFFERENT round
+        # boundaries (budget_per_round may change across a resume), so the
+        # stale dirs must go or commit_round would keep them and drop the
+        # recomputed data (resume re-production promise, checkpoint.py).
+        for name in ("pages", "images", "stamps", "attempts"):
+            pruned = table_store.prune_rounds_after(
+                self.cfg.out_dir, name, c["round_id"]
+            )
+            if pruned:
+                self.metrics.setdefault("pruned_on_resume", {})[name] = pruned
         return True
 
     # ------------------------------------------------------------------

@@ -12,8 +12,14 @@ Simulates the README's own single-fetcher + single-extractor topology
   URL already has a doc;
 * every actual GET costs one 5-second politeness tick (fetcher.go:99),
   including failed fetches (the check precedes the tick, the fetch may
-  still fail); a failed fetch stores no doc (fetcher.go:51-61), so the URL
-  stays fetchable and later queued occurrences retry it;
+  still fail); a TRANSPORT failure stores no doc (fetcher.go:51-61 returns
+  before couchdb.AddURLData), so the URL stays fetchable and later queued
+  occurrences retry it. NOTE: the reference stores a doc for any completed
+  HTTP response — there is no status check before AddURLData — so a real
+  HTTP 404 *would* become "seen" there. This corpus has no such pages: its
+  non-200s model dead links, which we deliberately treat as TRANSPORT
+  failures (dropped message, retryable) on BOTH sides of the parity
+  contract; crawl and oracle agree by construction;
 * seeds are stored as ``site-`` docs (couchdb.go:147-151) which do NOT make
   the seed URL itself "seen";
 * link discovery applies the advisory should-fetch check against the doc

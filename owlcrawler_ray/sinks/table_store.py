@@ -92,6 +92,31 @@ def write_part(tmp_dir: str, table: pa.Table, key: str) -> None:
     pq.write_table(table, os.path.join(tmp_dir, f"part-{digest}.parquet"))
 
 
+def prune_rounds_after(root: str, name: str, round_id: int) -> list[int]:
+    """Delete every round dir (committed or not) with id > round_id.
+
+    Resume safety: a run killed after writing round N+1's data but before
+    checkpointing it leaves a committed round dir NEWER than the restored
+    checkpoint. The resumed run may chunk rounds differently (e.g. a new
+    budget_per_round — fingerprint() explicitly allows that), so the stale
+    round's rows are NOT the rows the resumed run will produce; if its
+    ``_SUCCESS`` survived, commit_round would silently discard the
+    recomputed data in its favor. Restoring therefore prunes all rounds
+    beyond the checkpoint before re-running (checkpoint.py docstring)."""
+    base = os.path.join(root, name)
+    if not os.path.isdir(base):
+        return []
+    pruned = []
+    for d in sorted(os.listdir(base)):
+        if not d.startswith("round="):
+            continue
+        rid = int(d.split("=")[1].split(".")[0])
+        if rid > round_id:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            pruned.append(rid)
+    return pruned
+
+
 def list_rounds(root: str, name: str) -> list[int]:
     base = os.path.join(root, name)
     if not os.path.isdir(base):

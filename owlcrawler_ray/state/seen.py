@@ -259,9 +259,12 @@ class SeenShard:
         return False
 
     def _exact_contains(self, u: str) -> bool:
-        if u in self.tombstones:
-            return False
-        return u in self.urls or u in self.overflow or self._in_runs(u)
+        # tombstones veto RUN membership only (they exist because spilled
+        # runs are immutable); the live sets always win, so a removed-then-
+        # re-added URL is correctly seen again
+        if u in self.urls or u in self.overflow:
+            return True
+        return u not in self.tombstones and self._in_runs(u)
 
     def contains_many(self, urls: list[str]) -> np.ndarray:
         if self.exact_enabled:
@@ -282,17 +285,27 @@ class SeenShard:
             return self._exact_contains(u)
         return u in self.urls
 
+    def _insert(self, u: str, h) -> None:
+        """Shared insert path: revive a tombstoned spilled URL (membership
+        comes back via its immutable run — its fingerprint never left the
+        filter, see remove_many) or add to the hot set + filter."""
+        if u in self.tombstones:
+            self.tombstones.discard(u)
+            if self._in_runs(u):
+                return  # revived: the run row is the membership again
+        self.urls.add(u)
+        if self.deletable:
+            if not self.filter.insert(int(h)):
+                self.overflow.add(u)  # filter full: exact-checked forever
+
     def add_many(self, urls: list[str]) -> int:
         added = 0
         hs = url_hash64_many(urls)
         for u, h in zip(urls, hs):
             if self._known(u):
                 continue
-            self.urls.add(u)
+            self._insert(u, h)
             added += 1
-            if self.deletable:
-                if not self.filter.insert(int(h)):
-                    self.overflow.add(u)  # filter full: exact-checked forever
         if not self.deletable:
             self.filter.add_many(hs)
         self._maybe_spill()
@@ -304,18 +317,22 @@ class SeenShard:
         hs = url_hash64_many(urls)
         for i, (u, h) in enumerate(zip(urls, hs)):
             if not self._known(u):
-                self.urls.add(u)
-                if self.deletable:
-                    if not self.filter.insert(int(h)):
-                        self.overflow.add(u)
+                self._insert(u, h)
                 out[i] = True
+        if not self.deletable:
+            self.filter.add_many(hs)
         self._maybe_spill()
         return out
 
     def remove_many(self, urls: list[str]) -> int:
+        """Remove URLs (public API; the crawl loop never removes). The
+        FINGERPRINT stays in the filter on purpose: CuckooFilter.delete
+        could evict another key's identical fingerprint and break the
+        no-false-negatives invariant the filter-first membership path
+        relies on. A stale fingerprint only costs one extra exact check on
+        that slot's ~fp-rate of probes."""
         removed = 0
-        hs = url_hash64_many(urls)
-        for u, h in zip(urls, hs):
+        for u in urls:
             if not self._known(u):
                 continue
             self.urls.discard(u)
@@ -323,8 +340,6 @@ class SeenShard:
             if self._in_runs(u):
                 self.tombstones.add(u)
             removed += 1
-            if self.deletable:
-                self.filter.delete(int(h))
         return removed
 
     @property

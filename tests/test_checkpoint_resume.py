@@ -90,3 +90,47 @@ def test_restart_without_resume_flag_starts_fresh(ray_session, tmp_path):
         assert len(urls) == len(set(urls))
     finally:
         c2.shutdown()
+
+
+def test_resume_prunes_stale_rounds_after_checkpoint(ray_session, tmp_path):
+    """A kill INSIDE the checkpoint_every window leaves committed output
+    rounds NEWER than the newest checkpoint. Resuming with a different
+    budget re-chunks those rounds; the stale dirs must be pruned or
+    commit_round would keep them and silently drop the recomputed rows."""
+    import os
+
+    full_base = str(tmp_path / "prunefull")
+    base = str(tmp_path / "prune")
+    c_full, _ = run_crawl(_cfg(full_base))
+    full = _rows(c_full)
+    c_full.shutdown()
+
+    c1, _ = run_crawl(_cfg(base, budget_per_round=5, max_ticks=15))
+    c1.shutdown()
+    ckpt_root = f"{base}/ckpt"
+    rounds = sorted(
+        int(d.split("=")[1]) for d in os.listdir(ckpt_root)
+        if d.startswith("round=") and not d.endswith(".tmp")
+    )
+    assert len(rounds) >= 4
+    # simulate the kill: the newest checkpoints never landed, but the
+    # rounds' output dirs did (they are written before the checkpoint).
+    # (run() also writes a final post-loop checkpoint at round_id+1 with
+    # no output round of its own — drop that one and the last real one.)
+    for r in rounds[-2:]:
+        shutil.rmtree(os.path.join(ckpt_root, f"round={r:06d}"))
+    import owlcrawler_ray.sinks.table_store as ts
+    stale = rounds[-2]
+    assert stale in ts.list_rounds(f"{base}/out", "pages")  # stale
+
+    # resume with a DIFFERENT budget (fingerprint allows it): round
+    # boundaries shift, so the stale round would collide
+    c2, s2 = run_crawl(_cfg(base, budget_per_round=17), resume=True)
+    resumed = _rows(c2)
+    c2.shutdown()
+    assert c2.metrics.get("pruned_on_resume", {}).get("pages") == [stale]
+    assert s2["fetched"] == len(full[0])
+    for got, want, name in zip(resumed, full, ("pages", "attempts", "images")):
+        assert len(got) == len(want), name
+        for g, w in zip(got, want):
+            assert g == w, f"{name} row mismatch: {g} != {w}"

@@ -169,3 +169,30 @@ def test_seen_shard_spill_mode(tmp_path):
     s3 = SeenShard(0, capacity=4096, spill_dir=d, max_mem_urls=100)
     spilled = sum(len(h) for h, _ in s3._runs)
     assert spilled >= 100
+
+
+def test_seen_shard_spill_remove_then_readd(tmp_path):
+    """A URL removed (tombstoned against a spilled run) and later re-added
+    must be seen again — and removal must never induce a filter false
+    negative for other keys (fingerprints stay in the filter)."""
+    d = str(tmp_path / "spill_readd")
+    s = SeenShard(0, capacity=4096, spill_dir=d, max_mem_urls=50)
+    batch = [f"http://h{i % 7}.test/p{i}" for i in range(120)]
+    s.add_many(batch)
+    assert s.contains_many(batch).all()
+    victims = batch[:5]
+    s.remove_many(victims)
+    assert not s.contains_many(victims).any()
+    # re-add via both write paths
+    s.add_many(victims[:3])
+    got = s.test_and_set_many(victims[3:])
+    assert got.all()  # they really were unseen before the re-add
+    assert s.contains_many(victims).all()  # permanently-unseen bug: fixed
+    # idempotent re-add
+    assert s.add_many(victims) == 0
+    # every OTHER key survived the remove round-trip (no filter false negs)
+    others = batch[5:]
+    assert s.contains_many(others).all()
+    assert s.size() == len(batch)
+    # snapshot equals the logical set
+    assert set(s.snapshot().column("url").to_pylist()) == set(batch)
