@@ -7,10 +7,10 @@ crawled images Dataset in the BASELINE.json input_hint shape.
 queries(): one callable per implemented operator/pipeline (SURVEY.md §2 +
 the training-data graft ops); each takes sf_dir.
 
-oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query (18 of
-26); the rest (crawl loop, LSH-ANN, phash/simhash/fingerprint, image
-decode validation) are rows-only checks backed by pytest parity/recall
-tests instead.
+oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query (24 of
+39); the rest (crawl loop + its sites/stats views, LSH-ANN, highlight
+fragments, phash/simhash/fingerprint, multimodal decode) are rows-only
+checks backed by pytest parity/recall/golden tests instead.
 
 Ray is initialised by the DRIVER before importing this module — nothing
 here calls ray.init()/ray.shutdown().

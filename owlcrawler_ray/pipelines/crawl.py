@@ -250,9 +250,27 @@ class Crawler:
     # ------------------------------------------------------------------
     def _seed(self) -> None:
         seeds = self.web.seeds()
-        # seed docs are stored with a `site-` prefix id (couchdb.go:147-151)
-        # and so do NOT mark the url itself as seen — nothing to add to the
-        # seen set here; just enqueue in submission order.
+        # seed docs are stored with a `site-` prefix id and a {"site": url}
+        # body (couchdb.go:147-151; webapp saveSubmittedURL main.go:157-164
+        # marshals couchdb.NewSite) — the `sites` view lists exactly these
+        # docs (couchdb.go:104-106). Persisted as the crawl's `sites` table
+        # (round 0, idempotent under restart). The `site-` prefix means the
+        # seed doc does NOT mark the url itself as seen — nothing to add to
+        # the seen set here; just enqueue in submission order.
+        table_store.write_round(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        [ids.seed_doc_id(u) for u in seeds], pa.string()
+                    ),
+                    "site": pa.array(seeds, pa.string()),
+                    "submitted_seq": pa.array(
+                        np.arange(len(seeds), dtype=np.int64)
+                    ),
+                }
+            ),
+            self.cfg.out_dir, "sites", 0,
+        )
         self._push_frontier(
             seeds,
             [0] * len(seeds),
@@ -769,6 +787,10 @@ class Crawler:
 
     def attempts_table(self) -> pa.Table:
         return table_store.read_all_arrow(self.cfg.out_dir, "attempts")
+
+    def sites_table(self) -> pa.Table:
+        """The stored `site-` seed docs (the reference's sites view input)."""
+        return table_store.read_all_arrow(self.cfg.out_dir, "sites")
 
     def shutdown(self) -> None:
         for a in self.frontier + self.seen:

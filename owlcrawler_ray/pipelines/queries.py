@@ -1304,10 +1304,76 @@ def q_crawl_images(sf_dir: str):
         c.shutdown()
 
 
+def q_crawl_sites(sf_dir: str):
+    """A2 over REAL crawl output: the stored `site-` seed docs (the
+    reference's sites view lists docs with a `site` field,
+    couchdb.go:104-106) joined with per-host page counts from the same
+    crawl's pages table. Closes the sites-view loop on actual crawl
+    output instead of testdata; counts are pytest-checked against the
+    serial oracle."""
+    import shutil as _sh
+
+    from ..functions.ids import host_of
+    from .crawl import run_crawl
+
+    cfg = _crawl_cfg("sites")
+    _sh.rmtree("/tmp/owlcrawl_q/sites", ignore_errors=True)
+    c, _ = run_crawl(cfg)
+    try:
+        sites = c.sites_table()
+        pages = c.pages_table()
+        per_host: dict[str, int] = {}
+        for u in pages.column("url").to_pylist():
+            h = host_of(u)
+            per_host[h] = per_host.get(h, 0) + 1
+        rows = sorted(
+            zip(sites.column("site").to_pylist(),
+                sites.column("doc_id").to_pylist())
+        )
+        return pa.table(
+            {
+                "site": pa.array([s for s, _ in rows], pa.string()),
+                "doc_id": pa.array([d for _, d in rows], pa.string()),
+                "n_pages": pa.array(
+                    [per_host.get(host_of(s), 0) for s, _ in rows], pa.int64()
+                ),
+            }
+        )
+    finally:
+        c.shutdown()
+
+
+def q_crawl_stats(sf_dir: str):
+    """A1 over REAL crawl output: the stats view's fetched/parsed _count
+    reduce (couchdb.go:97-103 emits fetched_on/parsed_on per doc) computed
+    from the crawl's own pages table."""
+    import shutil as _sh
+
+    from .crawl import run_crawl
+
+    cfg = _crawl_cfg("stats")
+    _sh.rmtree("/tmp/owlcrawl_q/stats", ignore_errors=True)
+    c, _ = run_crawl(cfg)
+    try:
+        pages = c.pages_table()
+        fetched = int(pc.sum(
+            pc.cast(pc.is_valid(pages.column("fetched_on")), pa.int64())
+        ).as_py() or 0)
+        parsed = int(pc.sum(
+            pc.cast(pc.is_valid(pages.column("parsed_on")), pa.int64())
+        ).as_py() or 0)
+        return pa.table({"fetched": pa.array([fetched], pa.int64()),
+                         "parsed": pa.array([parsed], pa.int64())})
+    finally:
+        c.shutdown()
+
+
 QUERIES.update(
     {
         "simhash_dedup": q_simhash_dedup,
         "doc_fingerprints": q_doc_fingerprints,
+        "crawl_sites": q_crawl_sites,
+        "crawl_stats": q_crawl_stats,
         "lang_id": q_lang_id,
         "ann_ivf": q_ann_ivf,
         "images_decode_stats": q_images_decode_stats,

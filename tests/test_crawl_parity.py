@@ -223,3 +223,39 @@ def test_fetched_robots_txt_respected(ray_session, tmp_path):
                 assert not parts.path.startswith(prefix), (u, prefix)
     finally:
         c.shutdown()
+
+
+def test_crawl_sites_and_stats_match_oracle(ray_session):
+    """A1/A2 over real crawl output: stored `site-` seed docs + per-host
+    page counts and the fetched/parsed stats view must agree with the
+    serial oracle on the same web."""
+    from owlcrawler_ray.functions.ids import host_of, seed_doc_id
+    from owlcrawler_ray.pipelines import oracle as orc
+    from owlcrawler_ray.pipelines.queries import (
+        _crawl_cfg,
+        q_crawl_sites,
+        q_crawl_stats,
+    )
+    from owlcrawler_ray.sources.corpus import SyntheticWeb
+
+    sites = q_crawl_sites("unused").to_pydict()
+    web = SyntheticWeb(_crawl_cfg("sites").web)
+    r = orc.run_oracle(web)
+    assert sorted(sites["site"]) == sorted(web.seeds())
+    assert sites["doc_id"] == [seed_doc_id(s) for s in sites["site"]]
+    per_host: dict = {}
+    for u in r.fetch_order:
+        per_host[host_of(u)] = per_host.get(host_of(u), 0) + 1
+    # cross-host links mean non-seed hosts get crawled too; the sites view
+    # covers the seeded hosts only
+    seed_hosts = {host_of(s) for s in sites["site"]}
+    assert sum(sites["n_pages"]) == sum(
+        1 for u in r.fetch_order if host_of(u) in seed_hosts
+    )
+    for s, n in zip(sites["site"], sites["n_pages"]):
+        assert n == per_host.get(host_of(s), 0)
+    assert sum(sites["n_pages"]) > 0
+
+    stats = q_crawl_stats("unused").to_pydict()
+    assert stats["fetched"] == [len(r.pages)]
+    assert stats["parsed"] == [len(r.pages)]
