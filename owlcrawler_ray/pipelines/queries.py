@@ -51,8 +51,20 @@ def _round_half_away(x: np.ndarray, digits: int) -> np.ndarray:
     return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
 
 
+def _strip_meta(t: pa.Table) -> pa.Table:
+    """Drop schema metadata (zero-copy). Parquet files written by pandas/
+    pyarrow carry a b'pandas' schema-metadata dict, and a pa.Schema with
+    metadata is UNHASHABLE — every hash-shuffle aggregator (groupby, join,
+    unique) then logs 'Failed to hash the schemas ... unhashable type:
+    dict' per block and loses its dedup fast path. Stripping here (fused
+    into the read task) keeps all downstream schemas hashable."""
+    return t.replace_schema_metadata(None)
+
+
 def _read(sf_dir: str, table: str, columns=None):
-    return rd.read_parquet(_p(sf_dir, table), columns=columns)
+    return rd.read_parquet(_p(sf_dir, table), columns=columns).map_batches(
+        _strip_meta, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def _pool_size(frac: float = 0.5, lo: int = 1) -> tuple[int, int]:
@@ -1927,9 +1939,12 @@ def q_partitioned_join(sf_dir: str):
     is what it compiles to conceptually. The lineitem side is pre-aggregated
     per orderkey BEFORE the join shuffle (partial revenue per batch), so the
     exchange carries one row per (batch, orderkey), not per lineitem."""
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).filter(
-        expr="o_orderpriority == '1-URGENT'"
-    ).select_columns(["o_orderkey"])
+    # priority predicate pushed down INTO the read (row-group pruning +
+    # only the key column leaves storage)
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey"],
+        filter=(pc.field("o_orderpriority") == "1-URGENT"),
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"])
