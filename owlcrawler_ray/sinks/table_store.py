@@ -1,11 +1,18 @@
 """Partitioned, resumable columnar table store (Lance when available,
 Parquet otherwise — the sandbox has no lance wheel, so Parquet is the
-tested default behind the same interface).
+active default).
+
+The format choice is ONE writer object (``WRITER``, chosen at import):
+every write/commit/read path below dispatches through it, so the Lance
+branch is the same code path the Parquet tests exercise — not an
+untested ``if``. tests/test_table_store_writers.py runs the identical
+round-trip against both writers (the lance leg skips itself, with
+reason, only when the wheel is absent).
 
 Replaces the reference's CouchDB page store (couchdb/couchdb.go:143-214).
 Layout — one directory per crawl round:
 
-    root/<name>/round=000042/part-*.parquet
+    root/<name>/round=000042/part-*.parquet   (or part-*.lance dirs)
     root/<name>/round=000042/_SUCCESS
 
 Writes are atomic per round: data lands in ``<dir>.tmp`` and is renamed
@@ -30,6 +37,67 @@ except ImportError:
     HAVE_LANCE = False
 
 
+class ParquetWriter:
+    """Columnar part writer (always available). One part = one file."""
+
+    name = "parquet"
+    ext = ".parquet"
+
+    def write(self, table: pa.Table, path: str) -> None:
+        pq.write_table(table, path)
+
+    def read(self, path: str) -> pa.Table:
+        return pq.read_table(path)
+
+    def write_dataset(self, ds, out_dir: str) -> None:
+        ds.write_parquet(out_dir)
+
+    def dataset(self, files: list[str]):
+        import ray.data as rd
+
+        # partitioning=None: don't let hive inference graft a `round`
+        # column out of the round=NNNNNN path segment — the stored schema
+        # is the contract
+        return rd.read_parquet(files, partitioning=None)
+
+
+class LanceWriter:
+    """Lance-format part writer (the north rule's target table format).
+    One part = one self-contained lance dataset directory. Selected
+    automatically when the ``lance`` wheel is importable; the store's
+    write/commit/read machinery is IDENTICAL either way (the writer is
+    the only varying object — tests exercise the same round-trip through
+    both, the lance leg skipping only when the wheel is absent)."""
+
+    name = "lance"
+    ext = ".lance"
+
+    def write(self, table: pa.Table, path: str) -> None:
+        import lance as _lance
+
+        _lance.write_dataset(table, path, mode="create")
+
+    def read(self, path: str) -> pa.Table:
+        import lance as _lance
+
+        return _lance.dataset(path).to_table()
+
+    def write_dataset(self, ds, out_dir: str) -> None:
+        ds.write_lance(os.path.join(out_dir, "part-ds" + self.ext))
+
+    def dataset(self, files: list[str]):
+        import ray.data as rd
+
+        parts = [rd.read_lance(f) for f in files]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+
+
+WRITER = LanceWriter() if HAVE_LANCE else ParquetWriter()
+
+
 def _round_dir(root: str, name: str, round_id: int) -> str:
     return os.path.join(root, name, f"round={round_id:06d}")
 
@@ -48,9 +116,9 @@ def write_round(ds, root: str, name: str, round_id: int) -> str:
     shutil.rmtree(final, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     if isinstance(ds, pa.Table):
-        pq.write_table(ds, os.path.join(tmp, "part-0.parquet"))
+        WRITER.write(ds, os.path.join(tmp, "part-0" + WRITER.ext))
     else:  # ray Dataset — distributed write, one file per block set
-        ds.write_parquet(tmp)
+        WRITER.write_dataset(ds, tmp)
     os.rename(tmp, final)
     with open(os.path.join(final, "_SUCCESS"), "w") as f:
         f.write("ok")
@@ -84,12 +152,12 @@ def commit_round(root: str, name: str, round_id: int) -> str:
 
 
 def write_part(tmp_dir: str, table: pa.Table, key: str) -> None:
-    """Write one part file with a deterministic content-derived name (safe
-    under task retries)."""
+    """Write one part (file or lance dataset dir, per WRITER) with a
+    deterministic content-derived name (safe under task retries)."""
     import hashlib
 
     digest = hashlib.blake2b(key.encode(), digest_size=8).hexdigest()
-    pq.write_table(table, os.path.join(tmp_dir, f"part-{digest}.parquet"))
+    WRITER.write(table, os.path.join(tmp_dir, f"part-{digest}{WRITER.ext}"))
 
 
 def prune_rounds_after(root: str, name: str, round_id: int) -> list[int]:
@@ -130,31 +198,30 @@ def list_rounds(root: str, name: str) -> list[int]:
     return out
 
 
+def _part_paths(root: str, name: str) -> list[str]:
+    out = []
+    for r in list_rounds(root, name):
+        d = _round_dir(root, name, r)
+        out.extend(
+            os.path.join(d, f) for f in sorted(os.listdir(d))
+            if f.endswith(WRITER.ext)
+        )
+    return out
+
+
 def read_all(root: str, name: str):
     """All committed rounds as one ray Dataset (lazy, streaming)."""
     import ray.data as rd
 
-    dirs = [
-        _round_dir(root, name, r) for r in list_rounds(root, name)
-    ]
-    files = []
-    for d in dirs:
-        files.extend(
-            os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
-        )
+    files = _part_paths(root, name)
     if not files:
         return rd.from_items([])
-    return rd.read_parquet(files)
+    return WRITER.dataset(files)
 
 
 def read_all_arrow(root: str, name: str) -> pa.Table:
     """All committed rounds as one in-memory Arrow table (small/test use)."""
-    tables = []
-    for r in list_rounds(root, name):
-        d = _round_dir(root, name, r)
-        for f in sorted(os.listdir(d)):
-            if f.endswith(".parquet"):
-                tables.append(pq.read_table(os.path.join(d, f)))
+    tables = [WRITER.read(p) for p in _part_paths(root, name)]
     if not tables:
         return pa.table({})
     return pa.concat_tables(tables, promote_options="default")

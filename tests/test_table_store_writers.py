@@ -1,0 +1,82 @@
+"""The table store's writer abstraction: the SAME round-trip body runs
+against ParquetWriter and LanceWriter — the lance leg skips (with reason)
+only when the wheel is absent, so if a lance wheel ever lands the branch
+is already covered."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import owlcrawler_ray.sinks.table_store as ts
+
+
+def _sample_table(n=100):
+    return pa.table(
+        {
+            "image_id": pa.array([f"img-{i}" for i in range(n)], pa.string()),
+            "bytes": pa.array([bytes([i % 251]) * 16 for i in range(n)],
+                              pa.binary()),
+            "w": pa.array(np.full(n, 32, np.int32)),
+            "h": pa.array(np.full(n, 24, np.int32)),
+            "fmt": pa.array(["png"] * n, pa.string()),
+            "caption": pa.array([f"cap {i}" for i in range(n)], pa.string()),
+            "phash": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+
+
+def _writer_or_skip(kind: str):
+    if kind == "parquet":
+        return ts.ParquetWriter()
+    if not ts.HAVE_LANCE:
+        pytest.skip("lance wheel not installed in this sandbox")
+    return ts.LanceWriter()
+
+
+@pytest.mark.parametrize("kind", ["parquet", "lance"])
+def test_writer_part_roundtrip(tmp_path, kind):
+    w = _writer_or_skip(kind)
+    t = _sample_table()
+    path = str(tmp_path / ("part-0" + w.ext))
+    w.write(t, path)
+    assert w.read(path).equals(t)
+
+
+@pytest.mark.parametrize("kind", ["parquet", "lance"])
+def test_store_roundtrip_through_writer(tmp_path, kind, monkeypatch):
+    """write_part -> commit_round -> read_all_arrow, idempotent recommit,
+    and prune — the full store machinery through the chosen writer."""
+    monkeypatch.setattr(ts, "WRITER", _writer_or_skip(kind))
+    root = str(tmp_path / "store")
+    t = _sample_table()
+    for rid, sl in ((0, t.slice(0, 60)), (1, t.slice(60))):
+        tmp = ts.begin_round(root, "images", rid)
+        ts.write_part(tmp, sl, key=f"r{rid}")
+        ts.commit_round(root, "images", rid)
+    assert ts.list_rounds(root, "images") == [0, 1]
+    got = ts.read_all_arrow(root, "images")
+    assert got.sort_by("image_id").equals(t.sort_by("image_id"))
+    # idempotent re-commit: stale tmp content is discarded
+    tmp = ts.begin_round(root, "images", 1)
+    ts.write_part(tmp, t.slice(0, 1), key="stale")
+    ts.commit_round(root, "images", 1)
+    assert ts.read_all_arrow(root, "images").num_rows == t.num_rows
+    # write_round on a pa.Table + prune
+    ts.write_round(t.slice(0, 5), root, "images", 2)
+    assert ts.list_rounds(root, "images") == [0, 1, 2]
+    assert ts.prune_rounds_after(root, "images", 1) == [2]
+    assert ts.list_rounds(root, "images") == [0, 1]
+
+
+@pytest.mark.parametrize("kind", ["parquet", "lance"])
+def test_store_dataset_read_through_writer(ray_session, tmp_path, kind,
+                                           monkeypatch):
+    monkeypatch.setattr(ts, "WRITER", _writer_or_skip(kind))
+    root = str(tmp_path / "dstore")
+    t = _sample_table(40)
+    tmp = ts.begin_round(root, "images", 0)
+    ts.write_part(tmp, t, key="r0")
+    ts.commit_round(root, "images", 0)
+    ds = ts.read_all(root, "images")
+    assert ds.count() == 40
+    assert sorted(ds.schema().names) == sorted(t.schema.names)
