@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     "video_frame_sample",
     "audio_features",
     "search",
+    "search_es",
+    "search_highlights",
+    "ngram_jaccard_verify",
+    "partitioned_join",
     "fifo_order",
 ]
 
@@ -184,8 +188,84 @@ def run_scaling() -> dict:
     }
 
 
+def run_megaround() -> dict:
+    """Mega-round driver-loop proof (SCALING.md): ONE crawl round at a
+    politeness budget >= 100k ticks, frontier pre-filled with the whole
+    web, measuring what fraction of the round the O(budget) DRIVER loops
+    (admission peek/merge, tick walk) take vs the distributed work. The
+    claim under test: at 10^5-tick rounds the driver is nowhere near the
+    ceiling (tick_walk < 10% of round time)."""
+    import logging
+
+    import ray
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from owlcrawler_ray.pipelines.crawl import Crawler, CrawlConfig, warmup_workers
+    from owlcrawler_ray.sources.corpus import WebConfig
+
+    web = WebConfig(num_hosts=40, base_pages=2700, hot_factor=4,
+                    n_seed_hosts=40, fanout=4)
+    base = f"/tmp/owlcrawl_mega/{NCPU}"
+    shutil.rmtree(base, ignore_errors=True)
+    budget = 110_000
+    cfg = CrawlConfig(
+        web=web, budget_per_round=budget,
+        num_seen_shards=8, num_frontier_shards=8,
+        fetch_concurrency=max(2, NCPU - 4),
+        image_concurrency=max(2, NCPU // 2),
+        out_dir=f"{base}/out", ckpt_dir=f"{base}/ckpt",
+        keep_logs=False, max_rounds=1,
+    )
+    warmup_workers(NCPU)
+    c = Crawler(cfg)
+    # pre-fill the frontier with the entire web so ONE round admits the
+    # full budget (BFS growth would otherwise need many warmup rounds)
+    urls = []
+    for i in range(web.num_hosts):
+        urls.append(f"http://host-{i}.test/")
+        urls.extend(
+            f"http://host-{i}.test/page-{j}.html"
+            for j in range(1, web.pages_on(i))
+        )
+    c._push_frontier(urls, [1] * len(urls), [0.0] * len(urls),
+                     list(range(c.next_seq, c.next_seq + len(urls))))
+    c.next_seq += len(urls)
+    t0 = time.perf_counter()
+    summary = c.run()
+    wall = time.perf_counter() - t0
+    m = c.metrics["rounds"][0]
+    c.shutdown()
+    ray.shutdown()
+    tm = m["timings"]
+    round_sec = sum(v for k, v in tm.items())
+    out = {
+        "metric": "mega-round driver-loop fractions at budget>=100k",
+        "budget_per_round": budget,
+        "attempt_ticks": summary["ticks"],
+        "fetched_urls": summary["fetched"],
+        "num_cpus": NCPU,
+        "round_sec": round(round_sec, 3),
+        "wall_sec": round(wall, 3),
+        "urls_per_s": round(summary["fetched"] / wall, 1),
+        "timings": tm,
+        "tick_walk_frac": round(tm["tick_walk"] / round_sec, 4),
+        "admit_frac": round(tm["admit"] / round_sec, 4),
+        "driver_loop_frac": round(
+            (tm["tick_walk"] + tm["admit"] + tm["stamps"] + tm["links_push"])
+            / round_sec, 4),
+    }
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--megaround" in sys.argv:
+        print(json.dumps(run_megaround()))
     else:
         print(json.dumps(run_once()))

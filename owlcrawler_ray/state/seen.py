@@ -92,8 +92,11 @@ class CuckooFilter:
         i = i1
         cur = np.uint16(fp)
         for _ in range(_MAX_KICKS):
-            self._lcg = (
-                self._lcg * np.uint64(6364136223846793005) + np.uint64(1442695040888963407)
+            # LCG wraps mod 2^64 BY DESIGN; python ints avoid numpy's
+            # per-call RuntimeWarning on the intended overflow
+            self._lcg = np.uint64(
+                (int(self._lcg) * 6364136223846793005 + 1442695040888963407)
+                & 0xFFFFFFFFFFFFFFFF
             )
             slot = int(self._lcg >> np.uint64(61)) & 3
             cur, self.buckets[i][slot] = self.buckets[i][slot], cur
