@@ -51,32 +51,41 @@ def _round_half_away(x: np.ndarray, digits: int) -> np.ndarray:
     return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
 
 
-def _strip_meta(t: pa.Table) -> pa.Table:
-    """Drop schema metadata (zero-copy). Parquet files written by pandas/
-    pyarrow carry a b'pandas' schema-metadata dict, and a pa.Schema with
-    metadata is UNHASHABLE — every hash-shuffle aggregator (groupby, join,
-    unique) then logs 'Failed to hash the schemas ... unhashable type:
-    dict' per block and loses its dedup fast path. Stripping here (fused
-    into the read task) keeps all downstream schemas hashable."""
-    return t.replace_schema_metadata(None)
+def _clean_schema(path: str, columns=None) -> pa.Schema:
+    """Metadata-free read schema (one footer read on the driver). Parquet
+    files written by pandas/pyarrow carry a b'pandas' schema-metadata
+    dict, and a pa.Schema with metadata is UNHASHABLE — the read op's own
+    schema unification and every hash-shuffle aggregator (groupby, join,
+    unique) then log 'Failed to hash the schemas ... unhashable type:
+    dict' per block and lose their dedup fast path. Handing the read a
+    clean schema keeps every downstream schema hashable."""
+    schema = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return schema
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    return rd.read_parquet(_p(sf_dir, table), columns=columns).map_batches(
-        _strip_meta, batch_format="pyarrow", zero_copy_batch=True
+    path = _p(sf_dir, table)
+    return rd.read_parquet(
+        path, columns=columns, schema=_clean_schema(path, columns)
     )
 
 
 def _pool_size(frac: float = 0.5, lo: int = 1) -> tuple[int, int]:
     """Actor-pool sizing derived from the cluster CPU count. A hard-coded
     (1, 2) pool starves a 32-cpu node (measured in BENCH_r01: decode
-    stages pinned at 2 actors); scale the ceiling with the cluster and
-    let Ray's autoscaling pool pick within [lo, hi]."""
+    stages pinned at 2 actors), and a pool that autoscales FROM 1 is
+    nearly as bad when the upstream gen stage fuses into the actor op —
+    the whole fused pipeline crawls until the pool scales up (measured:
+    (1,16) 3.6-4.6 s vs (8,16) 2.0 s for images_decode_stats at 32
+    cpus). Pre-start half the ceiling, let autoscaling handle the rest."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:  # not initialised yet (import-time callers)
         cpus = 4
-    return (lo, max(lo + 1, int(cpus * frac)))
+    hi = max(lo + 1, int(cpus * frac))
+    return (max(lo, hi // 2), hi)
 
 
 # ---------------------------------------------------------------------------
@@ -376,12 +385,17 @@ def q_filter_scan(sf_dir: str):
         & (pc.field("l_discount") <= 0.06)
         & (pc.field("l_quantity") < 10)
     )
-    # row-group/predicate pushdown happens AT THE READ (never load-then-drop)
+    # row-group/predicate pushdown happens AT THE READ (never load-then-
+    # drop). Filter columns ride along in columns= (they leave storage
+    # anyway — the filter reads them) so the clean schema covers them;
+    # the trailing projection drops them from the output.
+    path = _p(sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_shipdate", "l_discount"]
     return rd.read_parquet(
-        _p(sf_dir, "lineitem"),
-        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
-        filter=flt,
-    )
+        path, columns=cols, schema=_clean_schema(path, cols), filter=flt,
+    ).select_columns(["l_orderkey", "l_linenumber", "l_quantity",
+                      "l_extendedprice"])
 
 
 # ---------------------------------------------------------------------------
@@ -583,7 +597,12 @@ def q_minhash_lsh_pairs(sf_dir: str):
             }
         )
 
-    bands = ds.map_batches(sig_batch, batch_format="pyarrow")
+    # materialize the signature table: it is consumed twice (bucket counts,
+    # then hot filter) and recomputing it doubles the md5 shingle work —
+    # the dominant cost (measured). Signatures are ~100 B/doc vs multi-KB
+    # docs, so holding them in the (spillable) object store is the
+    # scale-correct trade even at 10^10 docs.
+    bands = ds.map_batches(sig_batch, batch_format="pyarrow").materialize()
 
     def bucket_partial(batch: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(
@@ -937,7 +956,11 @@ def q_embedding_near_dup(sf_dir: str):
             }
         )
 
-    coded = ds.map_batches(code_rows, batch_format="pyarrow", zero_copy_batch=True)
+    # consumed twice (counts, hot filter); materialize so the embedding
+    # read + code matmul run once (code rows are small: key + id + vector)
+    coded = ds.map_batches(
+        code_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     def bucket_partial(batch: pa.Table) -> pa.Table:
         return (
@@ -1150,7 +1173,10 @@ def _images_input(sf_dir: str):
     n_docs = pq.read_metadata(_p(sf_dir, "documents")).num_rows
     n = max(60, n_docs // 2)
     nd = max(10, n // 10)
-    return rd.range(n + nd, override_num_blocks=max(2, (n + nd) // 256)).map_batches(
+    # ~64 images per block: synthesis (encode) is the heavy part of these
+    # pipelines, so block count — not downstream batch size — sets the
+    # usable parallelism (measured: 10 blocks capped a 32-cpu box at ~2 s)
+    return rd.range(n + nd, override_num_blocks=max(2, (n + nd) // 64)).map_batches(
         lambda b: rows_for_indices(b["id"], n, nd), batch_format="numpy"
     )
 
@@ -1216,8 +1242,12 @@ def q_images_decode_stats(sf_dir: str):
 
 def q_images_phash_pairs(sf_dir: str):
     """Perceptual near-dup detection: band the 64-bit phash into 4x16-bit
-    LSH keys, groupby band-bucket, verify candidates by full hamming <= 6.
-    The only shuffle is over (band, key) — never pairwise over images."""
+    LSH keys, find >=2-member band-buckets via a cheap count-aggregate
+    (NOT map_groups over ~10^4 mostly-singleton groups — the per-group
+    task overhead swamps the work; same lesson as minhash_lsh_pairs),
+    broadcast the tiny hot set, verify candidates by full hamming <= 6 on
+    the filtered hot rows. The only shuffle is the (band|key, count)
+    partial exchange — never pairwise over images."""
     from ..functions.textops import hamming64_many
 
     ds = _images_input(sf_dir).select_columns(["image_id", "phash"])
@@ -1225,43 +1255,89 @@ def q_images_phash_pairs(sf_dir: str):
     def bands(batch: pa.Table) -> pa.Table:
         ph = batch.column("phash").to_numpy().view(np.uint64)
         ids_l = batch.column("image_id").to_pylist()
-        out_id, out_band, out_key, out_ph = [], [], [], []
+        out_id, out_key, out_ph = [], [], []
         for i, pid in enumerate(ids_l):
             for b in range(4):
+                key = int((ph[i] >> np.uint64(16 * b)) & np.uint64(0xFFFF))
                 out_id.append(pid)
-                out_band.append(b)
-                out_key.append(int((ph[i] >> np.uint64(16 * b)) & np.uint64(0xFFFF)))
+                out_key.append(f"{b}|{key}")
                 out_ph.append(int(np.int64(ph[i])))
         return pa.table(
             {
                 "image_id": pa.array(out_id, pa.string()),
-                "band": pa.array(out_band, pa.int32()),
-                "key": pa.array(out_key, pa.int64()),
+                "bucket": pa.array(out_key, pa.string()),
                 "phash": pa.array(out_ph, pa.int64()),
             }
         )
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("image_id").drop_duplicates("image_id")
-        n = len(g)
+    # materialize the SLIM banded projection (id, bucket, phash — bytes
+    # already dropped): it is consumed twice (bucket counts, then hot-row
+    # filter) and lazily re-executing it re-synthesizes every image
+    # (measured: 2x ~2 s gen per pass at 32 cpus). ~16 B/row — this is the
+    # "small result" case where materialize is the right call.
+    banded = ds.map_batches(bands, batch_format="pyarrow").materialize()
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        return (
+            pa.table({"bucket": batch.column("bucket")})
+            .group_by("bucket").aggregate([([], "count_all")])
+            .rename_columns(["bucket", "n_p"])
+        )
+
+    counts = (
+        banded.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket").aggregate(Sum("n_p", alias_name="n"))
+    )
+    empty = pa.table(
+        {"img_a": pa.array([], pa.string()),
+         "img_b": pa.array([], pa.string()),
+         "n_bands": pa.array([], pa.int64())}
+    )
+    hot = {r["bucket"] for r in counts.filter(expr="n >= 2").take_all()}
+    if not hot:
+        return empty
+    hot_ref = ray.put(hot)
+
+    def in_hot(batch: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        mask = pa.array([b in hs for b in batch.column("bucket").to_pylist()])
+        return batch.filter(mask)
+
+    blocks = [
+        t for t in ray.get(
+            banded.map_batches(in_hot, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows > 0
+    ]
+    if not blocks:
+        return empty
+    small = pa.concat_tables(blocks)  # O(hot members), tiny
+    members: dict[str, dict[str, int]] = {}
+    for bk, pid, ph in zip(small.column("bucket").to_pylist(),
+                           small.column("image_id").to_pylist(),
+                           small.column("phash").to_pylist()):
+        members.setdefault(bk, {})[pid] = ph
+    pair_bands: dict[tuple[str, str], int] = {}
+    for ms in members.values():
+        items = sorted(ms.items())
+        n = len(items)
         if n < 2:
-            return pd.DataFrame({"img_a": pd.Series([], dtype=str),
-                                 "img_b": pd.Series([], dtype=str)})
-        ids_l = g["image_id"].tolist()
-        ph = g["phash"].to_numpy()
-        out_a, out_b = [], []
-        for i in range(n):
+            continue
+        ids_l = [p for p, _ in items]
+        ph = np.array([h for _, h in items], dtype=np.int64)
+        for i in range(n - 1):
             d = hamming64_many(np.repeat(ph[i], n - i - 1), ph[i + 1:])
             for j in np.where(d <= 6)[0]:
-                a, b = ids_l[i], ids_l[i + 1 + j]
-                out_a.append(min(a, b))
-                out_b.append(max(a, b))
-        return pd.DataFrame({"img_a": out_a, "img_b": out_b})
-
-    cand = ds.map_batches(bands, batch_format="pyarrow").groupby(
-        ["band", "key"]
-    ).map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["img_a", "img_b"]).aggregate(Count(alias_name="n_bands"))
+                p = (ids_l[i], ids_l[i + 1 + j])
+                pair_bands[p] = pair_bands.get(p, 0) + 1
+    items = sorted(pair_bands.items())
+    return pa.table(
+        {
+            "img_a": pa.array([p[0] for p, _ in items], pa.string()),
+            "img_b": pa.array([p[1] for p, _ in items], pa.string()),
+            "n_bands": pa.array([n for _, n in items], pa.int64()),
+        }
+    )
 
 
 def _crawl_cfg(tag: str):
@@ -1850,9 +1926,8 @@ def q_ngram_jaccard_verify(sf_dir: str):
 
     n_blocks = max(2, cand_tbl.num_rows // 4096)
     step = max(1, -(-cand_tbl.num_rows // n_blocks))
-    cand = rd.from_arrow(
-        [cand_tbl.slice(i, step) for i in range(0, cand_tbl.num_rows, step)]
-    )
+    slices = [cand_tbl.slice(i, step) for i in range(0, cand_tbl.num_rows, step)]
+    cand = rd.from_arrow(slices)
 
     class Verify:
         """Stateful verify: the doc->shingle-set index is built ONCE per
@@ -1886,7 +1961,9 @@ def q_ngram_jaccard_verify(sf_dir: str):
 
     return cand.map_batches(
         Verify, fn_constructor_args=(sh_ref,), batch_format="pyarrow",
-        concurrency=_pool_size(frac=0.25),
+        # pool sized to the candidate block count — more actors than
+        # blocks would just pay startup for idle workers
+        concurrency=(1, min(len(slices), _pool_size(frac=0.25)[1])),
     )
 
 
@@ -1939,12 +2016,15 @@ def q_partitioned_join(sf_dir: str):
     is what it compiles to conceptually. The lineitem side is pre-aggregated
     per orderkey BEFORE the join shuffle (partial revenue per batch), so the
     exchange carries one row per (batch, orderkey), not per lineitem."""
-    # priority predicate pushed down INTO the read (row-group pruning +
-    # only the key column leaves storage)
+    # priority predicate pushed down INTO the read (row-group pruning;
+    # the filter column rides along for the clean schema, then projected
+    # away)
+    _opath = _p(sf_dir, "orders")
+    _ocols = ["o_orderkey", "o_orderpriority"]
     orders = rd.read_parquet(
-        _p(sf_dir, "orders"), columns=["o_orderkey"],
+        _opath, columns=_ocols, schema=_clean_schema(_opath, _ocols),
         filter=(pc.field("o_orderpriority") == "1-URGENT"),
-    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    ).select_columns(["o_orderkey"])
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"])
