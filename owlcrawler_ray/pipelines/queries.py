@@ -1539,6 +1539,128 @@ ORACLES["search"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# A5 end-to-end: materialized dedup output (keep-first corpus)
+# ---------------------------------------------------------------------------
+
+def q_dedup_documents(sf_dir: str):
+    """The dedup pipeline's OUTPUT stage: the deduplicated corpus itself
+    (first-writer-wins per content hash), not just the group stats —
+    join the keep-ids (small side, broadcast) back against the clone-
+    union stream. At 10^10 docs the keep-id set becomes a Bloom filter +
+    exact recheck, same family as q_anti_join_unseen."""
+    groups = q_exact_dedup(sf_dir)  # Dataset: content_hash, keep_id, n_copies
+    keep_blocks = ray.get(
+        groups.select_columns(["keep_id"]).to_arrow_refs()
+    )
+    keep = np.unique(
+        pa.concat_tables(keep_blocks).column("keep_id").to_numpy()
+    )
+    ref = ray.put(keep)
+    ds = _with_clones(_read(sf_dir, "documents", columns=["doc_id", "text"]), sf_dir)
+
+    def keep_only(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        probe = batch.column("doc_id").to_numpy()
+        pos = np.minimum(np.searchsorted(ks, probe), len(ks) - 1)
+        return batch.filter(pa.array(ks[pos] == probe))
+
+    return ds.map_batches(keep_only, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["dedup_documents"] = q_dedup_documents
+ORACLES["dedup_documents"] = """
+    WITH uni AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+    ),
+    keep AS (
+        SELECT min(doc_id) AS keep_id FROM uni GROUP BY md5(text)
+    )
+    SELECT u.doc_id, u.text FROM uni u JOIN keep k ON u.doc_id = k.keep_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SO-class: per-group top-k (window rank)
+# ---------------------------------------------------------------------------
+
+def q_top_events_per_user(sf_dir: str):
+    """Windowed rank: top-3 events per user by (value desc, event_id).
+    Per-BATCH partial top-3 per user first (bounded state, vectorized
+    arrow sort within the batch), then a per-user merge of the partials —
+    the exchange carries <= 3 rows per (batch, user), never the full
+    events stream."""
+    k = 3
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            batch, sort_keys=[("user_id", "ascending"), ("value", "descending"),
+                              ("event_id", "ascending")],
+        )
+        t = batch.take(idx)
+        users = t.column("user_id").to_numpy()
+        # rank within user via run boundaries (vectorized)
+        starts = np.r_[0, np.flatnonzero(users[1:] != users[:-1]) + 1]
+        rank = np.arange(len(users)) - np.repeat(starts, np.diff(np.r_[starts, len(users)]))
+        return t.filter(pa.array(rank < k))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["user_id", "rank", "event_id", "value"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+QUERIES["top_events_per_user"] = q_top_events_per_user
+ORACLES["top_events_per_user"] = """
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS rank,
+           event_id, value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+    QUALIFY rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# S8: point get by doc id (couchdb.go:217 GetURLData)
+# ---------------------------------------------------------------------------
+
+POINT_DOC_ID = 137
+
+
+def q_point_lookup(sf_dir: str):
+    """The CouchDB point get (GetURLData, couchdb.go:217-252: one doc by
+    _id) re-expressed as an ad-hoc point query: the key predicate is
+    pushed INTO the parquet read (row-group statistics prune everything
+    but the hit's row group), returning the full doc row. At scale the
+    stored table is partitioned/sorted by doc_id, so this touches one
+    file's one row group — the columnar analogue of a keyed GET."""
+    path = _p(sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    return rd.read_parquet(
+        path, columns=cols, schema=_clean_schema(path, cols),
+        filter=(pc.field("doc_id") == POINT_DOC_ID),
+    )
+
+
+QUERIES["point_lookup"] = q_point_lookup
+ORACLES["point_lookup"] = f"""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id = {POINT_DOC_ID}
+"""
+
+
+# ---------------------------------------------------------------------------
 # A4/M7 full scoring model: match + slop-1 phrase boost (x10) + top-3
 # score-ordered highlight fragments (elastic_search.go:111-157)
 # ---------------------------------------------------------------------------
