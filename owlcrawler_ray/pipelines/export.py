@@ -1,0 +1,134 @@
+"""Resumable partitioned corpus export — the training-data sink shape.
+
+The briefing's resumable-output requirement ("write partitioned Parquet,
+one directory per input shard / key range, so a failed run can skip
+finished partitions") applied to the query layer, reusing the crawl's
+atomic table_store machinery (begin/commit + ``_SUCCESS``):
+
+    out_root/bucket=0007/round=000000/part-*.parquet
+    out_root/bucket=0007/round=000000/_SUCCESS
+
+Pipeline: documents stream -> quality filter (n_chars >= min_chars, the
+stats-view "parsed" predicate) -> exact dedup (md5(text), first-writer-
+wins keep-id set broadcast) -> bucket = doc_id % n_buckets -> per-bucket
+part files written FROM INSIDE the map tasks (content-keyed names, so
+task retries overwrite idempotently) -> driver commits each bucket dir.
+
+Resume: a re-run lists committed buckets first and prunes them OUT of the
+stream (the filter runs at the map, so completed buckets cost nothing but
+the scan); only missing buckets are rewritten. At 10^10 docs each bucket
+is an independent key-range unit of work — the property that lets a
+killed export restart without rewriting finished output.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from ..sinks import table_store
+
+MIN_CHARS = 100
+
+
+def _bucket_name(b: int) -> str:
+    return f"bucket={b:04d}"
+
+
+def export_corpus(sf_dir: str, out_root: str, n_buckets: int = 16) -> pa.Table:
+    """Run (or resume) the export; returns (bucket, n_docs) read back from
+    the committed output — the on-disk truth, not in-flight counters."""
+    import ray.data as rd
+
+    from .queries import _read
+
+    done = {
+        b for b in range(n_buckets)
+        if table_store.round_complete(out_root, _bucket_name(b), 0)
+    }
+    todo = sorted(set(range(n_buckets)) - done)
+    if todo:
+        ds = _read(sf_dir, "documents",
+                   columns=["doc_id", "text", "n_chars"])
+
+        # keep-id set: per-batch (hash -> min doc_id) partials, tiny global
+        # groupby, broadcast — same family as q_exact_dedup
+        def keep_partial(batch: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "h": [hashlib.md5(x.encode()).hexdigest()
+                          for x in batch.column("text").to_pylist()],
+                    "doc_id": batch.column("doc_id"),
+                }
+            )
+            return (
+                t.group_by("h").aggregate([("doc_id", "min")])
+                .rename_columns(["h", "keep_p"])
+            )
+
+        from ray.data.aggregate import Min
+
+        keep_tbl = (
+            ds.map_batches(keep_partial, batch_format="pyarrow")
+            .groupby("h").aggregate(Min("keep_p", alias_name="keep_id"))
+        )
+        keep = np.unique(
+            pa.concat_tables(
+                ray.get(keep_tbl.select_columns(["keep_id"]).to_arrow_refs())
+            ).column("keep_id").to_numpy()
+        )
+        keep_ref = ray.put(keep)
+        tmps = {
+            b: table_store.begin_round(out_root, _bucket_name(b), 0)
+            for b in todo
+        }
+        tmps_ref = ray.put(tmps)
+
+        def shard_write(batch: pa.Table) -> pa.Table:
+            ks = ray.get(keep_ref)
+            tdirs = ray.get(tmps_ref)
+            batch = batch.filter(
+                pc.greater_equal(batch.column("n_chars"), MIN_CHARS)
+            )
+            ids = batch.column("doc_id").to_numpy()
+            if len(ids):
+                pos = np.minimum(np.searchsorted(ks, ids), len(ks) - 1)
+                batch = batch.filter(pa.array(ks[pos] == ids))
+                ids = batch.column("doc_id").to_numpy()
+            buckets = (ids % n_buckets).astype(np.int64)
+            out_b, out_n = [], []
+            for b in np.unique(buckets):
+                b = int(b)
+                sub = batch.filter(pa.array(buckets == b))
+                out_b.append(b)
+                out_n.append(sub.num_rows)
+                if b in tdirs:
+                    lo = int(sub.column("doc_id")[0].as_py())
+                    table_store.write_part(
+                        tdirs[b], sub, key=f"b{b}-{lo}-{sub.num_rows}"
+                    )
+            return pa.table(
+                {"bucket": pa.array(out_b, pa.int64()),
+                 "n_p": pa.array(out_n, pa.int64())}
+            )
+
+        # drive the pass to completion (the count is the barrier), then
+        # commit each bucket dir atomically
+        ds.map_batches(shard_write, batch_format="pyarrow").count()
+        for b in todo:
+            table_store.commit_round(out_root, _bucket_name(b), 0)
+
+    rows_b, rows_n = [], []
+    for b in range(n_buckets):
+        t = table_store.read_all_arrow(out_root, _bucket_name(b))
+        rows_b.append(b)
+        rows_n.append(t.num_rows)
+    return pa.table(
+        {"bucket": pa.array(rows_b, pa.int64()),
+         "n_docs": pa.array(rows_n, pa.int64())}
+    )

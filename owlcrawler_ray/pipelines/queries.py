@@ -1632,6 +1632,42 @@ ORACLES["top_events_per_user"] = """
 
 
 # ---------------------------------------------------------------------------
+# resumable partitioned corpus export (training-data sink shape)
+# ---------------------------------------------------------------------------
+
+def q_corpus_export(sf_dir: str):
+    """Quality-filter + dedup + hash-bucketed partitioned export with
+    per-partition _SUCCESS (see pipelines/export.py); returns the
+    per-bucket doc counts read back from the committed output. The
+    resume-skip behavior is pytest-verified (test_export_resume.py)."""
+    import shutil as _sh
+
+    from .export import export_corpus
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = f"/tmp/owlcrawl_export/{tag}"
+    _sh.rmtree(out, ignore_errors=True)
+    return export_corpus(sf_dir, out)
+
+
+QUERIES["corpus_export"] = q_corpus_export
+ORACLES["corpus_export"] = """
+    WITH keep AS (
+        SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)
+    ),
+    kept AS (
+        SELECT d.doc_id FROM documents d
+        JOIN keep k ON d.doc_id = k.keep_id
+        WHERE d.n_chars >= 100
+    )
+    SELECT r.range AS bucket, count(k.doc_id) AS n_docs
+    FROM range(0, 16) r
+    LEFT JOIN kept k ON k.doc_id % 16 = r.range
+    GROUP BY r.range
+"""
+
+
+# ---------------------------------------------------------------------------
 # S8: point get by doc id (couchdb.go:217 GetURLData)
 # ---------------------------------------------------------------------------
 
