@@ -1164,6 +1164,79 @@ def q_ann_ivf(sf_dir: str):
     )
 
 
+def q_ann_ivf_centroids(sf_dir: str):
+    """True IVF ANN (complementing the hyperplane-LSH scale path of
+    q_ann_ivf): coarse quantizer = 32 centroids from a deterministic
+    seeded Lloyd's k-means over a BOUNDED sample (first row group, cap
+    2048 rows — at 10^10 rows this is a seeded Dataset sample), broadcast
+    once; each batch assigns vectors to their nearest centroid and keeps
+    only the query's nprobe=12 nearest lists for exact cosine rerank +
+    local prune. Per-batch work is one (b x k) matmul for assignment plus
+    exact scoring of the probed fraction (~nprobe/k of the data on
+    uniform inputs; far less on clustered real embeddings). Uniform-
+    random vectors are the ADVERSARIAL case for IVF (no cluster
+    structure: measured recall 0.7-0.8 at nprobe=12/32, 0.9 at 16); the
+    pytest gate is >=0.6, matching the honest stance of the LSH path."""
+    k_lists, nprobe, k, iters = 32, 12, 20, 5
+    pf = pq.ParquetFile(_p(sf_dir, "embeddings"))
+    sample = pf.read_row_group(0, columns=["embedding"]).column("embedding")
+    smat = np.asarray(sample.to_pylist()[:2048], dtype=np.float64)
+    smat = smat / np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(777)
+    cent = smat[rng.choice(len(smat), size=min(k_lists, len(smat)),
+                           replace=False)]
+    for _ in range(iters):  # spherical k-means on the sample
+        assign = np.argmax(smat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = smat[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    qvec = np.asarray(sample[0].as_py(), dtype=np.float64)
+    qn = qvec / np.linalg.norm(qvec)
+    probe_lists = np.argsort(-(cent @ qn))[:nprobe]
+    ref = ray.put((qn, cent, set(int(p) for p in probe_lists)))
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        q, c, pl = ray.get(ref)
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+        nmat = mat / norms[:, None]
+        assign = np.argmax(nmat @ c.T, axis=1)
+        mask = np.isin(assign, list(pl))
+        mask &= batch.column("vec_id").to_numpy() != 0
+        if not mask.any():
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "label": pa.array([], pa.int32()),
+                 "cos": pa.array([], pa.float64())}
+            )
+        cos = nmat[mask] @ q
+        t = pa.table(
+            {
+                "vec_id": batch.column("vec_id").filter(pa.array(mask)),
+                "label": batch.column("label").filter(pa.array(mask)),
+                "cos": cos,
+            }
+        )
+        idx = pc.select_k_unstable(
+            t, k=min(k, t.num_rows),
+            sort_keys=[("cos", "descending"), ("vec_id", "ascending")],
+        )
+        return t.take(idx)
+
+    return (
+        ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["cos", "vec_id"], descending=[True, False])
+        .limit(k)
+        .select_columns(["vec_id", "label"])
+    )
+
+
+QUERIES["ann_ivf_centroids"] = q_ann_ivf_centroids
+
+
 def _images_input(sf_dir: str):
     """Deterministic input_hint images table sized to the sf tier,
     synthesized DISTRIBUTED (rd.range -> map_batches row generator) — the
@@ -1884,6 +1957,76 @@ ORACLES["sessionization"] = """
     SELECT user_id, count(*) AS n_events,
            CAST(sum(new_sess) AS BIGINT) AS n_sessions
     FROM g GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# sliding window (streaming §2.10): 3-hour moving sum per user
+# ---------------------------------------------------------------------------
+
+def q_events_sliding_3h(sf_dir: str):
+    """Sliding-window aggregate: for each (user, hour) with events, the
+    moving sum/count over that user's [hour-2h, hour] window. Two-level
+    shape: exact integer tumbling partials per (user, hour) first (the
+    same order-independent milli-unit trick as events_hourly — the ONLY
+    shuffle is over (user, hour) partials), then the slide is computed
+    per user over its few distinct hours in map_groups. State per group
+    is O(distinct hours), never O(events)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        milli = (np.sign(v) * np.floor(np.abs(v) * 1000.0 + 0.5)).astype(np.int64)
+        t = pa.table(
+            {"user_id": batch.column("user_id"), "hour": hour,
+             "v": pa.array(milli)}
+        )
+        return (
+            t.group_by(["user_id", "hour"])
+            .aggregate([("v", "sum"), ([], "count_all")])
+            .rename_columns(["user_id", "hour", "v_p", "n_p"])
+        )
+
+    hourly = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "hour"])
+        .aggregate(Sum("v_p", alias_name="v_h"), Sum("n_p", alias_name="n_h"))
+    )
+
+    def slide(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour", kind="mergesort").reset_index(drop=True)
+        hours = g["hour"].to_numpy()
+        lo = np.searchsorted(hours, hours - np.timedelta64(2, "h"), side="left")
+        cv = np.r_[0, np.cumsum(g["v_h"].to_numpy())]
+        cn = np.r_[0, np.cumsum(g["n_h"].to_numpy())]
+        hi = np.arange(1, len(g) + 1)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"],
+                "hour": g["hour"],
+                "n_events_3h": (cn[hi] - cn[lo]).astype(np.int64),
+                "sum_value_3h": (cv[hi] - cv[lo]).astype(np.float64) / 1000.0,
+            }
+        )
+
+    return hourly.groupby("user_id").map_groups(slide, batch_format="pandas")
+
+
+QUERIES["events_sliding_3h"] = q_events_sliding_3h
+ORACLES["events_sliding_3h"] = """
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS v_h,
+               count(*) AS n_h
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    )
+    SELECT user_id, hour,
+           CAST(sum(n_h) OVER w AS BIGINT) AS n_events_3h,
+           CAST(sum(v_h) OVER w AS DOUBLE) / 1000.0 AS sum_value_3h
+    FROM hourly
+    WINDOW w AS (PARTITION BY user_id ORDER BY hour
+                 RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)
 """
 
 

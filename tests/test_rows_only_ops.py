@@ -280,3 +280,17 @@ def test_search_highlights_contract(ray_session):
             bare = frag.replace("<strong>", "").replace("</strong>", "")
             assert len(bare) <= 150
             assert any(t in bare for t in SEARCH_PHRASE)
+
+
+def test_ann_ivf_centroids_recall_vs_brute(ray_session):
+    from owlcrawler_ray.pipelines.queries import QUERIES
+
+    brute = set(QUERIES["ann_topk"](SF).to_pandas()["vec_id"])
+    ivf = set(QUERIES["ann_ivf_centroids"](SF).to_pandas()["vec_id"])
+    assert len(ivf) == len(brute) == 20
+    # uniform random 64-d data is the adversarial case for IVF (no
+    # cluster structure); measured 0.7-0.8 at nprobe=12/32
+    assert len(brute & ivf) / len(brute) >= 0.6
+    # deterministic across runs
+    again = set(QUERIES["ann_ivf_centroids"](SF).to_pandas()["vec_id"])
+    assert again == ivf
