@@ -125,6 +125,18 @@ def run_once() -> dict:
         with open(f"{SF_DIR}/{name}.parquet", "rb") as f:
             f.read()
     qtimes = {}
+    if os.environ.get("GRAFT_SKIP_QUERIES") == "1":
+        # scaling legs: only the crawl number feeds the efficiency ratio —
+        # skip the query suite so a 2-cpu leg isn't minutes of unused work
+        out = {
+            "metric": "crawl fetch+decode wall-clock (synthetic web, parity "
+                      "mode)",
+            "value": round(crawl_sec, 3), "unit": "sec", "queries": {},
+            "sf": SF_DIR.rstrip("/").split("sf")[-1], "num_cpus": NCPU,
+            "crawl": crawl_stats,
+        }
+        ray.shutdown()
+        return out
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         res = QUERIES[name](SF_DIR)
@@ -148,7 +160,7 @@ def run_once() -> dict:
 
 def run_scaling() -> dict:
     def sub_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
