@@ -29,3 +29,23 @@ def test_registry_shape(ray_session):
         assert callable(fn), name
     for name, sql in osql.items():
         assert "SELECT" in sql.upper(), name
+
+
+def test_cli_job_entry_runs_and_resumes(ray_session, tmp_path):
+    """python -m owlcrawler_ray (the ray-job-submit surface): runs inside
+    an existing Ray session without re-initing, supports kill+resume."""
+    from owlcrawler_ray.__main__ import main
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    rc = main(["--out", out, "--ckpt", ck, "--budget", "10",
+               "--max-ticks", "12", "--num-hosts", "3", "--base-pages", "6",
+               "--seed-hosts", "2"])
+    assert rc == 0
+    rc = main(["--out", out, "--ckpt", ck, "--budget", "17", "--resume",
+               "--num-hosts", "3", "--base-pages", "6", "--seed-hosts", "2"])
+    assert rc == 0
+    from owlcrawler_ray.sinks import table_store
+
+    pages = table_store.read_all_arrow(out, "pages")
+    urls = pages.column("url").to_pylist()
+    assert len(urls) == len(set(urls)) > 0
