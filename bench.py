@@ -54,6 +54,12 @@ BENCH_QUERIES = [
     "ngram_jaccard_verify",
     "partitioned_join",
     "fifo_order",
+    "point_lookup",
+    "dedup_documents",
+    "top_events_per_user",
+    "events_sliding_3h",
+    "ann_ivf_centroids",
+    "corpus_export",
 ]
 
 
