@@ -259,3 +259,36 @@ def test_crawl_sites_and_stats_match_oracle(ray_session):
     stats = q_crawl_stats("unused").to_pydict()
     assert stats["fetched"] == [len(r.pages)]
     assert stats["parsed"] == [len(r.pages)]
+
+
+def test_actor_stage_fetcher_parity(ray_session, tmp_path):
+    """use_actor_stages=True (the Dataset actor-pool fetcher — the shape a
+    real session-holding fetcher needs) must produce the EXACT same crawl
+    as the task-pool path and the serial oracle."""
+    base = str(tmp_path / "actorstages")
+    cfg = CrawlConfig(
+        web=SMALL_WEB,
+        budget_per_round=23,
+        out_dir=f"{base}/out",
+        ckpt_dir=f"{base}/ckpt",
+        fetch_concurrency=2,
+        image_concurrency=1,
+        use_actor_stages=True,
+    )
+    c, _ = run_crawl(cfg)
+    try:
+        oracle = run_oracle(SyntheticWeb(SMALL_WEB))
+        pages = c.pages_table().sort_by("fetch_seq")
+        assert pages.column("url").to_pylist() == oracle.fetch_order
+        atts = c.attempts_table().sort_by("tick").to_pylist()
+        assert [(a["url"], a["tick"], a["status"]) for a in atts] == [
+            (a["url"], a["tick"], a["status"]) for a in oracle.attempts
+        ]
+        imgs = c.images_table().sort_by(
+            [("tick", "ascending"), ("img_idx", "ascending")]
+        )
+        assert imgs.column("image_id").to_pylist() == [
+            i["image_id"] for i in oracle.images
+        ]
+    finally:
+        c.shutdown()
