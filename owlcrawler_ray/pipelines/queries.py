@@ -2031,6 +2031,82 @@ ORACLES["events_sliding_3h"] = """
 
 
 # ---------------------------------------------------------------------------
+# A6: HyperLogLog distinct (mergeable sketch — the 100-TB distinct count)
+# ---------------------------------------------------------------------------
+
+def q_hll_distinct_orders(sf_dir: str):
+    """Approximate distinct l_orderkey via HyperLogLog (p=12, md5-hashed,
+    deterministic): each batch emits its 4 KiB register row; the driver
+    merges with elementwise max and estimates. The exchange is
+    O(batches x 4 KiB) — vs the exact `unique`'s all-to-all shuffle of
+    every key. Error bound (~1.6% at p=12) is pytest-gated against the
+    exact count; mergeability (split-invariance) is pytest-gated too."""
+    from ..functions.sketch import HyperLogLog, hash64
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = HyperLogLog(12)
+        h.add_hashes(hash64(batch.column("l_orderkey").to_pylist()))
+        return pa.table({"regs": pa.array([h.regs.tobytes()], pa.binary())})
+
+    parts = ray.get(
+        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    )
+    merged = HyperLogLog(12)
+    for t in parts:
+        for buf in t.column("regs").to_pylist():
+            merged.merge(HyperLogLog.from_registers(
+                np.frombuffer(buf, dtype=np.uint8)))
+    return pa.table({"n_distinct_est": pa.array([merged.estimate()], pa.int64())})
+
+
+QUERIES["hll_distinct_orders"] = q_hll_distinct_orders
+
+
+# ---------------------------------------------------------------------------
+# SO4b: deterministic sample (hash-ranked — reproducible across engines)
+# ---------------------------------------------------------------------------
+
+def q_deterministic_sample(sf_dir: str):
+    """Seedable EXACT-membership sampling: rank every row by
+    md5(orderkey|linenumber) and keep the lowest 1000 — the distributed
+    reservoir pattern whose output is engine-independent (unlike RNG
+    samples, it is SQL-oracle-able bit-for-bit). Per-batch local prune to
+    k by hash, tiny global sort+limit — never a full sort."""
+    k = 1000
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        keys = [
+            hashlib.md5(f"{o}|{ln}".encode()).hexdigest()
+            for o, ln in zip(batch.column("l_orderkey").to_pylist(),
+                             batch.column("l_linenumber").to_pylist())
+        ]
+        t = batch.append_column("rk", pa.array(keys, pa.string()))
+        idx = pc.select_k_unstable(
+            t, k=min(k, t.num_rows), sort_keys=[("rk", "ascending")]
+        )
+        return t.take(idx)
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("rk").limit(k)
+        .select_columns(["l_orderkey", "l_linenumber", "l_quantity"])
+    )
+
+
+QUERIES["deterministic_sample"] = q_deterministic_sample
+ORACLES["deterministic_sample"] = """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    ORDER BY md5(l_orderkey || '|' || l_linenumber)
+    LIMIT 1000
+"""
+
+
+# ---------------------------------------------------------------------------
 # sampling (SO4)
 # ---------------------------------------------------------------------------
 

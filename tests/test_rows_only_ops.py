@@ -294,3 +294,39 @@ def test_ann_ivf_centroids_recall_vs_brute(ray_session):
     # deterministic across runs
     again = set(QUERIES["ann_ivf_centroids"](SF).to_pandas()["vec_id"])
     assert again == ivf
+
+
+def test_hyperloglog_properties():
+    from owlcrawler_ray.functions.sketch import HyperLogLog, hash64
+
+    # accuracy on a known cardinality
+    h = HyperLogLog(12)
+    h.add([f"key-{i}" for i in range(50000)])
+    est = h.estimate()
+    assert abs(est - 50000) / 50000 < 0.05
+    # mergeability: partials over any split == the whole-stream sketch
+    a, b = HyperLogLog(12), HyperLogLog(12)
+    a.add([f"key-{i}" for i in range(0, 50000, 2)])
+    b.add([f"key-{i}" for i in range(1, 50000, 2)])
+    assert (a.merge(b).regs == h.regs).all()
+    # duplicates don't move the estimate
+    h2 = HyperLogLog(12)
+    h2.add([f"key-{i % 500}" for i in range(50000)])
+    assert abs(h2.estimate() - 500) / 500 < 0.05
+    # determinism
+    h3 = HyperLogLog(12)
+    h3.add([f"key-{i}" for i in range(50000)])
+    assert h3.estimate() == est
+
+
+def test_hll_distinct_orders_query(ray_session):
+    import pyarrow.parquet as pq
+
+    from owlcrawler_ray.pipelines.queries import QUERIES
+
+    est = QUERIES["hll_distinct_orders"](SF).to_pydict()["n_distinct_est"][0]
+    exact = len(
+        set(pq.read_table(f"{SF}/lineitem.parquet", columns=["l_orderkey"])
+            .column("l_orderkey").to_pylist())
+    )
+    assert abs(est - exact) / exact < 0.05
