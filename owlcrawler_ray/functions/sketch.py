@@ -32,6 +32,46 @@ def hash64(values: list) -> np.ndarray:
     )
 
 
+class CountMinSketch:
+    """Count-min sketch (d rows x w counters, md5-derived row hashes),
+    MERGEABLE by elementwise sum — the heavy-hitter counter whose
+    exchange is O(d*w) per partial instead of the exact counter's
+    full-key shuffle. Point estimate = min over rows (always >= truth)."""
+
+    def __init__(self, w: int = 2048, d: int = 4):
+        self.w = w
+        self.d = d
+        self.counts = np.zeros((d, w), dtype=np.int64)
+
+    def _idx(self, keys: list) -> np.ndarray:
+        out = np.empty((self.d, len(keys)), dtype=np.int64)
+        for j, k in enumerate(keys):
+            dig = hashlib.md5(str(k).encode()).digest()
+            for r in range(self.d):
+                out[r, j] = int.from_bytes(dig[4 * r:4 * r + 4], "little") % self.w
+        return out
+
+    def add(self, keys: list, counts=None) -> None:
+        if not keys:
+            return
+        c = np.ones(len(keys), dtype=np.int64) if counts is None else \
+            np.asarray(counts, dtype=np.int64)
+        idx = self._idx(keys)
+        for r in range(self.d):
+            np.add.at(self.counts[r], idx[r], c)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.w, self.d) == (other.w, other.d)
+        self.counts += other.counts
+        return self
+
+    def estimate(self, keys: list) -> np.ndarray:
+        idx = self._idx(keys)
+        return np.min(
+            np.stack([self.counts[r][idx[r]] for r in range(self.d)]), axis=0
+        )
+
+
 class HyperLogLog:
     """HLL with 2^p registers. add() is vectorized; merge is elementwise
     max; estimate uses the standard bias-corrected harmonic mean with

@@ -2065,6 +2065,124 @@ QUERIES["hll_distinct_orders"] = q_hll_distinct_orders
 
 
 # ---------------------------------------------------------------------------
+# heavy hitters: exact top-20 frequent words (oracled) + CMS agreement
+# ---------------------------------------------------------------------------
+
+def q_frequent_words(sf_dir: str):
+    """Heavy-hitter detection (boilerplate hunting in training corpora):
+    top-20 words (len > 2) by total occurrences. Per-batch partial counts
+    (the word explode + count happens inside the batch), small groupby
+    over partials, tiny top-k — the exchange carries (word, count)
+    partials, never the corpus."""
+    k = 20
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        keep = pc.greater(pc.utf8_length(words), 2)
+        t = pa.table({"word": words.filter(keep)})
+        return (
+            t.group_by("word").aggregate([([], "count_all")])
+            .rename_columns(["word", "n_p"])
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word").aggregate(Sum("n_p", alias_name="n"))
+    )
+
+    def prune(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            batch, k=min(k, batch.num_rows),
+            sort_keys=[("n", "descending"), ("word", "ascending")],
+        )
+        return batch.take(idx)
+
+    return (
+        counts.map_batches(prune, batch_format="pyarrow")
+        .sort(["n", "word"], descending=[True, False])
+        .limit(k)
+    )
+
+
+QUERIES["frequent_words"] = q_frequent_words
+ORACLES["frequent_words"] = """
+    SELECT word, count(*) AS n
+    FROM (
+        SELECT unnest(str_split(text, ' ')) AS word FROM documents
+    )
+    WHERE length(word) > 2
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+"""
+
+
+def q_cms_frequent_words(sf_dir: str):
+    """The sketch path for the same heavy-hitter question: per-batch
+    count-min partials (d x w counter grids, merged by elementwise sum on
+    the driver — O(batches x 64 KiB) exchange) + per-batch local top
+    candidates; estimates for the candidate union come from the merged
+    sketch. Overestimates only (CMS guarantee); agreement with the exact
+    top set is pytest-gated."""
+    from ..functions.sketch import CountMinSketch
+
+    k = 20
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        keep = pc.greater(pc.utf8_length(words), 2)
+        t = (
+            pa.table({"word": words.filter(keep)})
+            .group_by("word").aggregate([([], "count_all")])
+            .rename_columns(["word", "n"])
+        )
+        cms = CountMinSketch()
+        cms.add(t.column("word").to_pylist(), t.column("n").to_numpy())
+        idx = pc.select_k_unstable(
+            t, k=min(4 * k, t.num_rows),
+            sort_keys=[("n", "descending"), ("word", "ascending")],
+        )
+        cand = t.take(idx).column("word")
+        return pa.table(
+            {
+                "counts": pa.array([cms.counts.tobytes()], pa.binary()),
+                "cands": pa.array([cand.to_pylist()], pa.list_(pa.string())),
+            }
+        )
+
+    from ..functions.sketch import CountMinSketch as _CMS
+
+    parts = ray.get(
+        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    )
+    merged = _CMS()
+    cands: set[str] = set()
+    for t in parts:
+        for buf, cl in zip(t.column("counts").to_pylist(),
+                           t.column("cands").to_pylist()):
+            other = _CMS()
+            other.counts = np.frombuffer(buf, dtype=np.int64).reshape(
+                merged.d, merged.w
+            ).copy()
+            merged.merge(other)
+            cands.update(cl)
+    cl = sorted(cands)
+    est = merged.estimate(cl)
+    order = sorted(zip(cl, est), key=lambda x: (-x[1], x[0]))[:k]
+    return pa.table(
+        {
+            "word": pa.array([w for w, _ in order], pa.string()),
+            "n_est": pa.array([int(n) for _, n in order], pa.int64()),
+        }
+    )
+
+
+QUERIES["cms_frequent_words"] = q_cms_frequent_words
+
+
+# ---------------------------------------------------------------------------
 # SO4b: deterministic sample (hash-ranked — reproducible across engines)
 # ---------------------------------------------------------------------------
 

@@ -330,3 +330,36 @@ def test_hll_distinct_orders_query(ray_session):
             .column("l_orderkey").to_pylist())
     )
     assert abs(est - exact) / exact < 0.05
+
+
+def test_count_min_sketch_properties():
+    from owlcrawler_ray.functions.sketch import CountMinSketch
+
+    cms = CountMinSketch()
+    keys = [f"k{i}" for i in range(1000)]
+    true = {k: (i % 7) + 1 for i, k in enumerate(keys)}
+    cms.add(list(true), list(true.values()))
+    est = cms.estimate(list(true))
+    tv = np.array(list(true.values()))
+    assert (est >= tv).all()  # CMS never underestimates
+    assert (est == tv).mean() > 0.9  # light load: mostly exact
+    # mergeability
+    a, b = CountMinSketch(), CountMinSketch()
+    a.add(keys[:500], [true[k] for k in keys[:500]])
+    b.add(keys[500:], [true[k] for k in keys[500:]])
+    assert (a.merge(b).counts == cms.counts).all()
+
+
+def test_cms_frequent_words_agrees_with_exact(ray_session):
+    from owlcrawler_ray.pipelines.queries import QUERIES
+
+    exact = QUERIES["frequent_words"](SF).to_pandas()
+    approx = QUERIES["cms_frequent_words"](SF).to_pandas()
+    assert len(approx) == 20
+    # CMS estimates are upper bounds of the true counts for shared words
+    truth = dict(zip(exact["word"], exact["n"]))
+    for w, n in zip(approx["word"], approx["n_est"]):
+        if w in truth:
+            assert n >= truth[w]
+    # the top-10 heavy hitters agree between exact and sketch
+    assert set(exact["word"][:10]) <= set(approx["word"])
