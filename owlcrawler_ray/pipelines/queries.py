@@ -233,6 +233,67 @@ def q_anti_join_unseen(sf_dir: str):
     return ds.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_anti_join_bloom(sf_dir: str):
+    """The 100-TB shape of the anti-join that q_anti_join_unseen's
+    docstring promises: the build side is distilled into BLOOM FILTER
+    partials per batch (merged by bitwise OR — the exchange is O(batches
+    x filter bits), never the keys), the merged filter is broadcast, and
+    each probe batch keeps bloom-NEGATIVES outright (definitively
+    unseen). Bloom POSITIVES (the ~fp-rate sliver plus real hits) get an
+    exact recheck against the sorted key set, so the output is exact —
+    same rows as the plain anti-join, same oracle."""
+    from ..state.seen import BloomFilter
+    from ..functions.ids import url_hash64_many
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    cap = pq.read_metadata(_p(sf_dir, "lineitem")).num_rows
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        b = BloomFilter(cap, fp_rate=0.01)
+        keys = [str(k) for k in
+                pc.unique(batch.column("l_orderkey")).to_pylist()]
+        b.add_many(url_hash64_many(keys))
+        return pa.table(
+            {"bits": pa.array([b.bits.tobytes()], pa.binary()),
+             "keys": pa.array(
+                 [pc.unique(batch.column("l_orderkey")).to_pylist()],
+                 pa.list_(pa.int64()))}
+        )
+
+    parts = ray.get(
+        li.map_batches(bloom_partial, batch_format="pyarrow").to_arrow_refs()
+    )
+    merged = BloomFilter(cap, fp_rate=0.01)
+    exact_keys: list = []
+    for t in parts:
+        for buf, kl in zip(t.column("bits").to_pylist(),
+                           t.column("keys").to_pylist()):
+            merged.bits |= np.frombuffer(buf, dtype=np.uint64)
+            exact_keys.append(np.asarray(kl, dtype=np.int64))
+    exact = np.unique(np.concatenate(exact_keys))
+    bloom_ref = ray.put((merged.m, merged.k, merged.bits))
+    exact_ref = ray.put(exact)
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        m, kk, bits = ray.get(bloom_ref)
+        b = BloomFilter.__new__(BloomFilter)
+        b.m, b.k, b.bits = m, kk, bits
+        probe = batch.column("o_orderkey").to_numpy()
+        hit = b.contains_many(
+            url_hash64_many([str(x) for x in probe.tolist()])
+        )
+        keep = ~hit  # bloom negative: definitively not in the build side
+        if hit.any():  # exact recheck of the positives only
+            ks = ray.get(exact_ref)
+            pos = np.minimum(np.searchsorted(ks, probe[hit]), len(ks) - 1)
+            keep[np.flatnonzero(hit)] = ks[pos] != probe[hit]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # SO1: top-k
 # ---------------------------------------------------------------------------
@@ -890,6 +951,11 @@ ORACLES = {
         LIMIT 20
     """,
 }
+
+# the bloom-pruned anti-join returns exactly the same rows (bloom prunes,
+# the exact recheck decides) — same oracle
+QUERIES["anti_join_bloom"] = q_anti_join_bloom
+ORACLES["anti_join_bloom"] = ORACLES["anti_join_unseen"]
 
 
 # ---------------------------------------------------------------------------
@@ -2062,6 +2128,59 @@ def q_hll_distinct_orders(sf_dir: str):
 
 
 QUERIES["hll_distinct_orders"] = q_hll_distinct_orders
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile sketch (log-bucket histogram, bounded relative error)
+# ---------------------------------------------------------------------------
+
+def q_quantiles_price(sf_dir: str):
+    """Approximate quantiles of l_extendedprice via a log-bucket
+    histogram: bucket = floor(ln(x)/ln(1+eps)) with eps=1% bounds the
+    per-value relative error at eps/2; per-batch (bucket, count) partials
+    feed a tiny groupby (the exchange is O(batches x occupied buckets),
+    never the values — the same mergeable-sketch family as HLL/CMS, which
+    is how a 100-TB engine answers quantiles without a global sort).
+    Estimates are pytest-gated within 2% of DuckDB's exact
+    quantile_cont."""
+    eps = 0.01
+    qs = [0.25, 0.5, 0.75, 0.95]
+    log_base = np.log1p(eps)
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        b = np.floor(np.log(np.maximum(x, 1e-300)) / log_base).astype(np.int64)
+        t = pa.table({"bucket": pa.array(b)})
+        return (
+            t.group_by("bucket").aggregate([([], "count_all")])
+            .rename_columns(["bucket", "n_p"])
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket").aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()  # occupied buckets only: O(log range / eps) rows
+        .sort_values("bucket")
+    )
+    counts = hist["n"].to_numpy()
+    cum = np.cumsum(counts)
+    total = int(cum[-1])
+    out_q, out_v = [], []
+    for q in qs:
+        target = q * total
+        i = int(np.searchsorted(cum, target))
+        b = int(hist["bucket"].iloc[min(i, len(hist) - 1)])
+        # bucket midpoint in log space
+        out_q.append(q)
+        out_v.append(float(np.exp((b + 0.5) * log_base)))
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()),
+         "value_est": pa.array(out_v, pa.float64())}
+    )
+
+
+QUERIES["quantiles_price"] = q_quantiles_price
 
 
 # ---------------------------------------------------------------------------

@@ -363,3 +363,19 @@ def test_cms_frequent_words_agrees_with_exact(ray_session):
             assert n >= truth[w]
     # the top-10 heavy hitters agree between exact and sketch
     assert set(exact["word"][:10]) <= set(approx["word"])
+
+
+def test_quantiles_price_within_tolerance(ray_session):
+    import duckdb
+
+    from owlcrawler_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["quantiles_price"](SF).to_pandas()
+    con = duckdb.connect()
+    exact = con.execute(
+        "SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]) "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).fetchone()[0]
+    assert list(got["q"]) == [0.25, 0.5, 0.75, 0.95]
+    for est, true in zip(got["value_est"], exact):
+        assert abs(est - true) / true < 0.02, (est, true)
