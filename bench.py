@@ -60,6 +60,12 @@ BENCH_QUERIES = [
     "events_sliding_3h",
     "ann_ivf_centroids",
     "corpus_export",
+    "deterministic_sample",
+    "hll_distinct_orders",
+    "frequent_words",
+    "cms_frequent_words",
+    "anti_join_bloom",
+    "quantiles_price",
 ]
 
 

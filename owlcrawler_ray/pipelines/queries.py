@@ -204,8 +204,9 @@ def q_anti_join_unseen(sf_dir: str):
     partial unique, tiny driver merge of the partials — never the raw
     build table on the driver) and broadcast via ray.put once (sorted for
     searchsorted); each batch filters vectorized — the batched form of the
-    reference's per-link HEAD anti-semi-join (at 100 TB the broadcast
-    becomes a Bloom filter of the key set + exact recheck of positives)."""
+    reference's per-link HEAD anti-semi-join. The 100-TB variant (Bloom
+    filter of the key set + exact recheck of positives) is implemented as
+    q_anti_join_bloom below, oracled to the same rows."""
     key_partials = (
         _read(sf_dir, "lineitem", columns=["l_orderkey"])
         .map_batches(
