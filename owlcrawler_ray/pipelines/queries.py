@@ -2132,6 +2132,72 @@ QUERIES["hll_distinct_orders"] = q_hll_distinct_orders
 
 
 # ---------------------------------------------------------------------------
+# embedding aggregation: per-label centroids (nearest-class-mean support)
+# ---------------------------------------------------------------------------
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid — the vector groupby a training
+    pipeline needs for class prototypes / nearest-class-mean. Per batch:
+    one (labels x dim) partial SUM (vectorized np.add.at) in integer
+    nano-units (order-independent exact — the float-sum-order trap of
+    pricing_summary applies to vectors too), exploded to (label, dim)
+    rows; a tiny groupby merges partials; the final map divides. The
+    exchange is O(batches x labels x dim), never the vectors."""
+    meta = pq.ParquetFile(_p(sf_dir, "embeddings"))
+    dim = len(meta.read_row_group(0, columns=["embedding"]).column("embedding")[0])
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column("label").to_numpy()
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        nano = (np.sign(mat) * np.floor(np.abs(mat) * 1e9 + 0.5)).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, inv, nano)
+        counts = np.bincount(inv, minlength=len(uniq))
+        lab = np.repeat(uniq, dim)
+        dims = np.tile(np.arange(1, dim + 1, dtype=np.int64), len(uniq))
+        return pa.table(
+            {
+                "label": pa.array(lab),
+                "dim": pa.array(dims),
+                "s_p": pa.array(sums.ravel()),
+                "n_p": pa.array(np.repeat(counts, dim).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s_p", alias_name="s"), Sum("n_p", alias_name="n"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = batch.column("s").to_numpy().astype(np.float64)
+        n = batch.column("n").to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "label": batch.column("label"),
+                "dim": batch.column("dim"),
+                "centroid": _round_half_away(s / n / 1e9, 6),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["label_centroids"] = q_label_centroids
+ORACLES["label_centroids"] = """
+    SELECT label, i AS dim,
+           round(CAST(sum(CAST(round(embedding[i] * 1000000000) AS BIGINT))
+                      AS DOUBLE) / count(*) / 1000000000, 6) AS centroid
+    FROM embeddings,
+         (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY label, i
+"""
+
+
+# ---------------------------------------------------------------------------
 # mergeable quantile sketch (log-bucket histogram, bounded relative error)
 # ---------------------------------------------------------------------------
 
@@ -2433,9 +2499,9 @@ def _videos_input(sf_dir: str):
             }
         )
 
-    return rd.range(n_videos, override_num_blocks=max(2, n_videos // 16)).map_batches(
+    return rd.range(n_videos, override_num_blocks=max(2, n_videos // 4)).map_batches(
         gen, batch_format="numpy"
-    )
+    ), max(2, n_videos // 4)
 
 
 def q_video_frame_sample(sf_dir: str):
@@ -2443,9 +2509,13 @@ def q_video_frame_sample(sf_dir: str):
     per sampled frame with dims + phash."""
     from ..stages.multimodal import VideoFrameSampler
 
-    return _videos_input(sf_dir).map_batches(
+    ds, n_blocks = _videos_input(sf_dir)
+    lo, hi = _pool_size()
+    # pool never larger than the input block count (idle actors otherwise)
+    return ds.map_batches(
         VideoFrameSampler, fn_constructor_args=(2, 8, "png"),
-        batch_format="pyarrow", batch_size=16, concurrency=_pool_size(),
+        batch_format="pyarrow", batch_size=16,
+        concurrency=(min(lo, n_blocks), max(2, min(hi, n_blocks))),
     )
 
 
@@ -2466,18 +2536,20 @@ def _audio_input(sf_dir: str):
              "bytes": pa.array(bufs, pa.binary())}
         )
 
-    return rd.range(n_clips, override_num_blocks=max(2, n_clips // 32)).map_batches(
+    return rd.range(n_clips, override_num_blocks=max(2, n_clips // 8)).map_batches(
         gen, batch_format="numpy"
-    )
+    ), max(2, n_clips // 8)
 
 
 def q_audio_features(sf_dir: str):
     """Audio feature-extraction stage: PCM decode -> rms/zcr/peak."""
     from ..stages.multimodal import AudioFeatures
 
-    return _audio_input(sf_dir).map_batches(
+    ds, n_blocks = _audio_input(sf_dir)
+    lo, hi = _pool_size()
+    return ds.map_batches(
         AudioFeatures, batch_format="pyarrow", batch_size=64,
-        concurrency=_pool_size(),
+        concurrency=(min(lo, n_blocks), max(2, min(hi, n_blocks))),
     ).select_columns(["clip_id", "n_samples", "rms", "zcr", "peak"])
 
 

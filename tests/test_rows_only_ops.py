@@ -178,7 +178,7 @@ def test_video_frame_sample_query(ray_session):
     from owlcrawler_ray.pipelines.queries import _videos_input, q_video_frame_sample
 
     frames = q_video_frame_sample(SF).to_pandas()
-    vids = _videos_input(SF).to_pandas()
+    vids = _videos_input(SF)[0].to_pandas()
     # every video contributes ceil(min(n_frames, 15)/2) capped at 8 frames
     want = {
         r["video_id"]: min((r["n_frames"] + 1) // 2, 8)
