@@ -236,45 +236,50 @@ def q_anti_join_unseen(sf_dir: str):
 
 def q_anti_join_bloom(sf_dir: str):
     """The 100-TB shape of the anti-join that q_anti_join_unseen's
-    docstring promises: the build side is distilled into BLOOM FILTER
-    partials per batch (merged by bitwise OR — the exchange is O(batches
-    x filter bits), never the keys), the merged filter is broadcast, and
-    each probe batch keeps bloom-NEGATIVES outright (definitively
-    unseen). Bloom POSITIVES (the ~fp-rate sliver plus real hits) get an
-    exact recheck against the sorted key set, so the output is exact —
-    same rows as the plain anti-join, same oracle."""
-    from ..state.seen import BloomFilter
-    from ..functions.ids import url_hash64_many
+    docstring promises, built from the engine's OWN membership machinery
+    (state/seen.py — the same sharded structure the crawl's dedup uses):
 
+      build pass  — each lineitem batch emits a BLOOM partial (exchange =
+                    O(batches x filter bits), never the keys) AND inserts
+                    its keys into hash-sharded SeenShard actors, so exact
+                    membership lives DISTRIBUTED in actor state — nothing
+                    key-sized ever lands on the driver (the driver merges
+                    only bloom bits, by bitwise OR).
+      probe pass  — each orders batch keeps bloom NEGATIVES outright
+                    (definitively unseen); the POSITIVES sliver (real
+                    hits + ~fp-rate) is exactly rechecked with one
+                    batched contains_many RPC to the shards per batch —
+                    the crawl's advisory-filter pattern.
+
+    Output is exact — same rows and oracle as the plain anti-join."""
+    from ..functions.ids import shard_of, url_hash64_many
+    from ..state.seen import BloomFilter, SeenShard
+
+    n_shards = 4
+    cap = pq.read_metadata(_p(sf_dir, "lineitem")).num_rows
+    shard_cls = ray.remote(num_cpus=0)(SeenShard)
+    shards = [shard_cls.remote(i, 1 << 14) for i in range(n_shards)]
     li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
 
-    cap = pq.read_metadata(_p(sf_dir, "lineitem")).num_rows
-
-    def bloom_partial(batch: pa.Table) -> pa.Table:
-        b = BloomFilter(cap, fp_rate=0.01)
+    def build(batch: pa.Table) -> pa.Table:
         keys = [str(k) for k in
                 pc.unique(batch.column("l_orderkey")).to_pylist()]
+        b = BloomFilter(cap, fp_rate=0.01)
         b.add_many(url_hash64_many(keys))
-        return pa.table(
-            {"bits": pa.array([b.bits.tobytes()], pa.binary()),
-             "keys": pa.array(
-                 [pc.unique(batch.column("l_orderkey")).to_pylist()],
-                 pa.list_(pa.int64()))}
-        )
+        sh = shard_of(keys, n_shards)
+        futs = []
+        for s in range(n_shards):
+            ks = [k for k, j in zip(keys, sh) if j == s]
+            if ks:
+                futs.append(shards[s].add_many.remote(ks))
+        ray.get(futs)
+        return pa.table({"bits": pa.array([b.bits.tobytes()], pa.binary())})
 
-    parts = ray.get(
-        li.map_batches(bloom_partial, batch_format="pyarrow").to_arrow_refs()
-    )
     merged = BloomFilter(cap, fp_rate=0.01)
-    exact_keys: list = []
-    for t in parts:
-        for buf, kl in zip(t.column("bits").to_pylist(),
-                           t.column("keys").to_pylist()):
+    for t in ray.get(li.map_batches(build, batch_format="pyarrow").to_arrow_refs()):
+        for buf in t.column("bits").to_pylist():
             merged.bits |= np.frombuffer(buf, dtype=np.uint64)
-            exact_keys.append(np.asarray(kl, dtype=np.int64))
-    exact = np.unique(np.concatenate(exact_keys))
     bloom_ref = ray.put((merged.m, merged.k, merged.bits))
-    exact_ref = ray.put(exact)
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
     def anti(batch: pa.Table) -> pa.Table:
@@ -286,13 +291,37 @@ def q_anti_join_bloom(sf_dir: str):
             url_hash64_many([str(x) for x in probe.tolist()])
         )
         keep = ~hit  # bloom negative: definitively not in the build side
-        if hit.any():  # exact recheck of the positives only
-            ks = ray.get(exact_ref)
-            pos = np.minimum(np.searchsorted(ks, probe[hit]), len(ks) - 1)
-            keep[np.flatnonzero(hit)] = ks[pos] != probe[hit]
+        if hit.any():  # exact recheck of the positives, sharded RPC
+            pos_keys = [str(x) for x in probe[hit].tolist()]
+            uniq = sorted(set(pos_keys))
+            sh = shard_of(uniq, n_shards)
+            futs, order = [], []
+            for s in range(n_shards):
+                ks = [k for k, j in zip(uniq, sh) if j == s]
+                if ks:
+                    futs.append(shards[s].contains_many.remote(ks))
+                    order.append(ks)
+            seen: dict[str, bool] = {}
+            for ks, mask in zip(order, ray.get(futs)):
+                for k, mk in zip(ks, mask):
+                    seen[k] = bool(mk)
+            keep[np.flatnonzero(hit)] = [not seen[k] for k in pos_keys]
         return batch.filter(pa.array(keep))
 
-    return ds.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+    out_blocks = [
+        t for t in ray.get(
+            ds.map_batches(anti, batch_format="pyarrow",
+                           zero_copy_batch=True).to_arrow_refs()
+        )
+        if t.num_rows > 0
+    ]
+    for a in shards:
+        ray.kill(a)
+    if not out_blocks:
+        return pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+        ).empty_table()
+    return pa.concat_tables(out_blocks)
 
 
 # ---------------------------------------------------------------------------
