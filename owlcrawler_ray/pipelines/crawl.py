@@ -699,7 +699,9 @@ class Crawler:
         # boundaries (budget_per_round may change across a resume), so the
         # stale dirs must go or commit_round would keep them and drop the
         # recomputed data (resume re-production promise, checkpoint.py).
-        for name in ("pages", "images", "stamps", "attempts"):
+        # windex = the river's derived per-round index deltas (river.py);
+        # stale deltas must go with the stale pages rounds they indexed
+        for name in ("pages", "images", "stamps", "attempts", "windex"):
             pruned = table_store.prune_rounds_after(
                 self.cfg.out_dir, name, c["round_id"]
             )

@@ -1631,12 +1631,37 @@ def q_crawl_stats(sf_dir: str):
         c.shutdown()
 
 
+def q_crawl_word_index(sf_dir: str):
+    """S13 (CouchDB→ES river) as a live capability: crawl, then tail the
+    committed rounds with the IndexRiver (pipelines/river.py — per-round
+    delta partitions, idempotent, LSM merge on read) and return the
+    merged inverted index. Incremental == batch-rebuild equality and
+    kill/resume behavior are pytest-gated (test_river.py)."""
+    import shutil as _sh
+
+    from .crawl import run_crawl
+    from .river import IndexRiver
+
+    cfg = _crawl_cfg("river")
+    _sh.rmtree("/tmp/owlcrawl_q/river", ignore_errors=True)
+    c, _ = run_crawl(cfg)
+    try:
+        river = IndexRiver(cfg.out_dir)
+        river.poll()
+        return river.index_table().sort_by(
+            [("word", "ascending"), ("doc_id", "ascending")]
+        )
+    finally:
+        c.shutdown()
+
+
 QUERIES.update(
     {
         "simhash_dedup": q_simhash_dedup,
         "doc_fingerprints": q_doc_fingerprints,
         "crawl_sites": q_crawl_sites,
         "crawl_stats": q_crawl_stats,
+        "crawl_word_index": q_crawl_word_index,
         "lang_id": q_lang_id,
         "ann_ivf": q_ann_ivf,
         "images_decode_stats": q_images_decode_stats,

@@ -219,6 +219,18 @@ def read_all(root: str, name: str):
     return WRITER.dataset(files)
 
 
+def read_all_arrow_round(root: str, name: str, round_id: int) -> pa.Table:
+    """One committed round's parts as an Arrow table."""
+    d = _round_dir(root, name, round_id)
+    tables = [
+        WRITER.read(os.path.join(d, f))
+        for f in sorted(os.listdir(d)) if f.endswith(WRITER.ext)
+    ]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="default")
+
+
 def read_all_arrow(root: str, name: str) -> pa.Table:
     """All committed rounds as one in-memory Arrow table (small/test use)."""
     tables = [WRITER.read(p) for p in _part_paths(root, name)]
