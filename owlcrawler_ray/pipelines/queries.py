@@ -236,98 +236,81 @@ def q_anti_join_unseen(sf_dir: str):
 
 def q_anti_join_bloom(sf_dir: str):
     """The 100-TB shape of the anti-join that q_anti_join_unseen's
-    docstring promises, built from the engine's OWN membership machinery
-    (state/seen.py — the same sharded structure the crawl's dedup uses):
+    docstring promises:
 
-      build pass  — each lineitem batch emits a BLOOM partial (exchange =
-                    O(batches x filter bits), never the keys) AND inserts
-                    its keys into hash-sharded SeenShard actors, so exact
-                    membership lives DISTRIBUTED in actor state — nothing
-                    key-sized ever lands on the driver (the driver merges
-                    only bloom bits, by bitwise OR).
-      probe pass  — each orders batch keeps bloom NEGATIVES outright
-                    (definitively unseen); the POSITIVES sliver (real
-                    hits + ~fp-rate) is exactly rechecked with one
-                    batched contains_many RPC to the shards per batch —
-                    the crawl's advisory-filter pattern.
+      build pass — each lineitem batch emits a BLOOM partial; the driver
+                   merges them by bitwise OR (exchange = O(batches x
+                   filter bits) — the KEYS never leave the cluster or
+                   land on the driver).
+      probe      — bloom NEGATIVES exit immediately (a bloom negative is
+                   definitively unseen); only the POSITIVES sliver (real
+                   matches + ~fp-rate) enters a hash-partitioned
+                   LEFT ANTI Dataset.join against the build side's
+                   distinct keys. The bloom's job is to keep rows that
+                   cannot match out of the shuffle: the join's left side
+                   carries ~(matches + 1%) of the probe, not all of it.
 
-    Output is exact — same rows and oracle as the plain anti-join."""
-    from ..functions.ids import shard_of, url_hash64_many
-    from ..state.seen import BloomFilter, SeenShard
+    Everything stays in Dataset-native ops: an earlier variant ran the
+    exact recheck as actor RPCs from inside map tasks and hit Ray's
+    concurrent-caller seq_no stalls (ActorUnavailableError) under session
+    load — joins are the stable primitive for data-path exactness; actors
+    remain the tool for ORDERED mutable state (the crawl's seen set).
+    Output is exact: negatives ∪ (positives ANTI build) — same oracle as
+    the plain anti-join."""
+    from ..functions.ids import url_hash64_many
+    from ..state.seen import BloomFilter
 
-    n_shards = 4
     cap = pq.read_metadata(_p(sf_dir, "lineitem")).num_rows
-    shard_cls = ray.remote(num_cpus=0)(SeenShard)
-    # use_cuckoo=False: the exact set + vectorized bloom — the cuckoo's
-    # per-key insert loop is for the crawl's incremental adds, not a bulk
-    # build (measured: 36 s -> ~3 s at sf0.1 for this query)
-    shards = [
-        shard_cls.remote(i, max(1 << 14, cap // n_shards), True, False)
-        for i in range(n_shards)
-    ]
     li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
 
-    def build(batch: pa.Table) -> pa.Table:
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        b = BloomFilter(cap, fp_rate=0.01)
         keys = [str(k) for k in
                 pc.unique(batch.column("l_orderkey")).to_pylist()]
-        b = BloomFilter(cap, fp_rate=0.01)
         b.add_many(url_hash64_many(keys))
-        sh = shard_of(keys, n_shards)
-        futs = []
-        for s in range(n_shards):
-            ks = [k for k, j in zip(keys, sh) if j == s]
-            if ks:
-                futs.append(shards[s].add_many.remote(ks))
-        ray.get(futs)
         return pa.table({"bits": pa.array([b.bits.tobytes()], pa.binary())})
 
     merged = BloomFilter(cap, fp_rate=0.01)
-    for t in ray.get(li.map_batches(build, batch_format="pyarrow").to_arrow_refs()):
+    for t in ray.get(
+        li.map_batches(bloom_partial, batch_format="pyarrow").to_arrow_refs()
+    ):
         for buf in t.column("bits").to_pylist():
             merged.bits |= np.frombuffer(buf, dtype=np.uint64)
     bloom_ref = ray.put((merged.m, merged.k, merged.bits))
-    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
-    def anti(batch: pa.Table) -> pa.Table:
-        m, kk, bits = ray.get(bloom_ref)
-        b = BloomFilter.__new__(BloomFilter)
-        b.m, b.k, b.bits = m, kk, bits
-        probe = batch.column("o_orderkey").to_numpy()
-        hit = b.contains_many(
-            url_hash64_many([str(x) for x in probe.tolist()])
-        )
-        keep = ~hit  # bloom negative: definitively not in the build side
-        if hit.any():  # exact recheck of the positives, sharded RPC
-            pos_keys = [str(x) for x in probe[hit].tolist()]
-            uniq = sorted(set(pos_keys))
-            sh = shard_of(uniq, n_shards)
-            futs, order = [], []
-            for s in range(n_shards):
-                ks = [k for k, j in zip(uniq, sh) if j == s]
-                if ks:
-                    futs.append(shards[s].contains_many.remote(ks))
-                    order.append(ks)
-            seen: dict[str, bool] = {}
-            for ks, mask in zip(order, ray.get(futs)):
-                for k, mk in zip(ks, mask):
-                    seen[k] = bool(mk)
-            keep[np.flatnonzero(hit)] = [not seen[k] for k in pos_keys]
-        return batch.filter(pa.array(keep))
+    def split(keep_hits: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            m, kk, bits = ray.get(bloom_ref)
+            b = BloomFilter.__new__(BloomFilter)
+            b.m, b.k, b.bits = m, kk, bits
+            probe = batch.column("o_orderkey").to_numpy()
+            hit = b.contains_many(
+                url_hash64_many([str(x) for x in probe.tolist()])
+            )
+            return batch.filter(pa.array(hit if keep_hits else ~hit))
+        return f
 
-    out_blocks = [
-        t for t in ray.get(
-            ds.map_batches(anti, batch_format="pyarrow",
-                           zero_copy_batch=True).to_arrow_refs()
-        )
-        if t.num_rows > 0
-    ]
-    for a in shards:
-        ray.kill(a)
-    if not out_blocks:
-        return pa.schema(
-            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
-        ).empty_table()
-    return pa.concat_tables(out_blocks)
+    def probe_ds():
+        return _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    negatives = probe_ds().map_batches(
+        split(False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    positives = probe_ds().map_batches(
+        split(True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    # build keys deduped per batch only (map-side, shuffle-free): LEFT
+    # ANTI is insensitive to duplicate right keys, so the global distinct
+    # aggregate would be a wasted all-to-all stage
+    li_keys = li.map_batches(
+        lambda b: pa.table({"l_orderkey": pc.unique(b.column("l_orderkey"))}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    kept = positives.join(
+        li_keys, join_type="left_anti", num_partitions=8,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    ).select_columns(["o_orderkey", "o_custkey"])
+    return negatives.union(kept)
 
 
 # ---------------------------------------------------------------------------
