@@ -36,6 +36,84 @@ from ..sinks import table_store
 MIN_CHARS = 100
 
 
+def export_pages(crawl_out: str, export_root: str, n_buckets: int = 8,
+                 min_chars: int = 50) -> pa.Table:
+    """End-to-end training-corpus composition over REAL crawl output:
+    the crawl's pages rounds stream in lazily (table_store.read_all — no
+    whole-corpus materialization), each batch computes text length,
+    applies the quality gate, buckets by blake2b(doc_id), and writes
+    part files into the same atomic per-bucket commit structure as
+    export_corpus. Resume semantics identical: committed buckets are
+    skipped. Returns (bucket, n_docs) read back from disk."""
+    from ..functions.ids import shard_of
+
+    done = {
+        b for b in range(n_buckets)
+        if table_store.round_complete(export_root, _bucket_name(b), 0)
+    }
+    todo = sorted(set(range(n_buckets)) - done)
+    if todo:
+        tmps = {
+            b: table_store.begin_round(export_root, _bucket_name(b), 0)
+            for b in todo
+        }
+        tmps_ref = ray.put(tmps)
+
+        def shard_write(batch: pa.Table) -> pa.Table:
+            tdirs = ray.get(tmps_ref)
+            ids = batch.column("doc_id").to_pylist()
+            texts = [
+                " ".join([t] + list(ps))
+                for t, ps in zip(batch.column("title").to_pylist(),
+                                 batch.column("text").to_pylist())
+            ]
+            n_chars = np.array([len(t) for t in texts], dtype=np.int64)
+            keep = n_chars >= min_chars
+            slim = pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.string()),
+                    "url": batch.column("url"),
+                    "text": pa.array(texts, pa.string()),
+                    "n_chars": pa.array(n_chars),
+                }
+            ).filter(pa.array(keep))
+            if slim.num_rows == 0:
+                return pa.table({"bucket": pa.array([], pa.int64()),
+                                 "n_p": pa.array([], pa.int64())})
+            buckets = shard_of(slim.column("doc_id").to_pylist(), n_buckets)
+            out_b, out_n = [], []
+            for b in np.unique(buckets):
+                b = int(b)
+                sub = slim.filter(pa.array(buckets == b))
+                out_b.append(b)
+                out_n.append(sub.num_rows)
+                if b in tdirs:
+                    key = sub.column("doc_id")[0].as_py()
+                    table_store.write_part(
+                        tdirs[b], sub, key=f"pg{b}-{key}-{sub.num_rows}"
+                    )
+            return pa.table(
+                {"bucket": pa.array(out_b, pa.int64()),
+                 "n_p": pa.array(out_n, pa.int64())}
+            )
+
+        table_store.read_all(crawl_out, "pages").map_batches(
+            shard_write, batch_format="pyarrow"
+        ).count()
+        for b in todo:
+            table_store.commit_round(export_root, _bucket_name(b), 0)
+
+    rows_b, rows_n = [], []
+    for b in range(n_buckets):
+        t = table_store.read_all_arrow(export_root, _bucket_name(b))
+        rows_b.append(b)
+        rows_n.append(t.num_rows)
+    return pa.table(
+        {"bucket": pa.array(rows_b, pa.int64()),
+         "n_docs": pa.array(rows_n, pa.int64())}
+    )
+
+
 def _bucket_name(b: int) -> str:
     return f"bucket={b:04d}"
 

@@ -1638,6 +1638,25 @@ def q_crawl_word_index(sf_dir: str):
         c.shutdown()
 
 
+def q_crawl_corpus_export(sf_dir: str):
+    """The full training-data composition over REAL crawl output: crawl →
+    lazily stream the committed pages rounds → quality gate → hash-
+    bucketed resumable export (pipelines/export.py::export_pages).
+    Per-bucket counts vs the serial oracle are pytest-gated."""
+    import shutil as _sh
+
+    from .crawl import run_crawl
+    from .export import export_pages
+
+    cfg = _crawl_cfg("corpusexp")
+    _sh.rmtree("/tmp/owlcrawl_q/corpusexp", ignore_errors=True)
+    c, _ = run_crawl(cfg)
+    try:
+        return export_pages(cfg.out_dir, "/tmp/owlcrawl_q/corpusexp/export")
+    finally:
+        c.shutdown()
+
+
 QUERIES.update(
     {
         "simhash_dedup": q_simhash_dedup,
@@ -1645,6 +1664,7 @@ QUERIES.update(
         "crawl_sites": q_crawl_sites,
         "crawl_stats": q_crawl_stats,
         "crawl_word_index": q_crawl_word_index,
+        "crawl_corpus_export": q_crawl_corpus_export,
         "lang_id": q_lang_id,
         "ann_ivf": q_ann_ivf,
         "images_decode_stats": q_images_decode_stats,

@@ -60,3 +60,41 @@ def test_export_partition_layout(ray_session, tmp_path):
             ids = t.column("doc_id").to_pylist()
             assert all(i % 4 == b for i in ids)
             assert min(t.column("n_chars").to_pylist()) >= 100
+
+
+def test_export_pages_matches_serial_oracle(ray_session, tmp_path):
+    """crawl → stream pages → quality gate → bucketed export: per-bucket
+    counts must equal the serial oracle's pages run through the same
+    transform in plain Python."""
+    from owlcrawler_ray.functions.ids import shard_of
+    from owlcrawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from owlcrawler_ray.pipelines.export import export_pages
+    from owlcrawler_ray.pipelines.oracle import run_oracle
+    from owlcrawler_ray.sources.corpus import SyntheticWeb, WebConfig
+
+    web = WebConfig(num_hosts=3, base_pages=6, hot_factor=2, n_seed_hosts=2)
+    base = str(tmp_path / "pagesexp")
+    cfg = CrawlConfig(web=web, budget_per_round=13, out_dir=f"{base}/out",
+                      ckpt_dir=f"{base}/ckpt", fetch_concurrency=2,
+                      image_concurrency=1)
+    c, _ = run_crawl(cfg)
+    c.shutdown()
+
+    got = export_pages(f"{base}/out", f"{base}/export", n_buckets=4,
+                       min_chars=50)
+    r = run_oracle(SyntheticWeb(web))
+    want = {b: 0 for b in range(4)}
+    kept_ids = []
+    for url, page in r.pages.items():
+        text = " ".join([page["title"]] + list(page["text"]))
+        if len(text) >= 50:
+            kept_ids.append(page["doc_id"])
+    for did, b in zip(kept_ids, shard_of(kept_ids, 4)):
+        want[int(b)] += 1
+    assert dict(zip(got.column("bucket").to_pylist(),
+                    got.column("n_docs").to_pylist())) == want
+    assert sum(want.values()) > 0
+    # resume: full re-run is a no-op (counts identical, nothing rewritten)
+    again = export_pages(f"{base}/out", f"{base}/export", n_buckets=4,
+                         min_chars=50)
+    assert again.equals(got)
