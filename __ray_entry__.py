@@ -8,7 +8,7 @@ queries(): one callable per implemented operator/pipeline (SURVEY.md §2 +
 the training-data graft ops); each takes sf_dir.
 
 oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query (33 of
-53); the rest (crawl loop + its sites/stats views, LSH-ANN, highlight
+54); the rest (crawl loop + its sites/stats views, LSH-ANN, highlight
 fragments, phash/simhash/fingerprint, multimodal decode) are rows-only
 checks backed by pytest parity/recall/golden tests instead.
 
