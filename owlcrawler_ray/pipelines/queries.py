@@ -2195,6 +2195,82 @@ QUERIES["hll_distinct_orders"] = q_hll_distinct_orders
 
 
 # ---------------------------------------------------------------------------
+# §2.8 set ops: INTERSECT / EXCEPT over derived sets (one shared shape)
+# ---------------------------------------------------------------------------
+
+def _bigram_halves(sf_dir: str):
+    """Per-bigram (seen-in-lower-half, seen-in-upper-half) flags: per-
+    batch distinct (bigram, min_flag, max_flag) partials, tiny global
+    groupby. The exchange carries one row per (batch, distinct bigram) —
+    the set semantics never shuffle the corpus. (Bigrams, not unigrams:
+    the word-salad vocabulary is shared across halves, so unigram EXCEPT
+    would be empty.)"""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams, halves = [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            ws = text.split(" ")
+            h = 1 if did >= 250 else 0
+            for i in range(len(ws) - 1):
+                grams.append(ws[i] + " " + ws[i + 1])
+                halves.append(h)
+        t = pa.table(
+            {"bigram": pa.array(grams, pa.string()),
+             "half": pa.array(halves, pa.int64())}
+        )
+        return (
+            t.group_by("bigram").aggregate([("half", "min"), ("half", "max")])
+            .rename_columns(["bigram", "lo_p", "hi_p"])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram")
+        .aggregate(Min("lo_p", alias_name="lo"), Max("hi_p", alias_name="hi"))
+    )
+
+
+def q_bigram_intersect(sf_dir: str):
+    """INTERSECT: bigrams present in BOTH document halves (doc_id < 250
+    and >= 250)."""
+    return _bigram_halves(sf_dir).filter(
+        expr="lo == 0 and hi == 1"
+    ).select_columns(["bigram"])
+
+
+def q_bigram_except(sf_dir: str):
+    """EXCEPT: bigrams present ONLY in the lower half."""
+    return _bigram_halves(sf_dir).filter(
+        expr="lo == 0 and hi == 0"
+    ).select_columns(["bigram"])
+
+
+_BIGRAM_CTE = """
+    WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ws) - 1),
+                                     i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        FROM w
+    )
+"""
+QUERIES["bigram_intersect"] = q_bigram_intersect
+QUERIES["bigram_except"] = q_bigram_except
+ORACLES["bigram_intersect"] = _BIGRAM_CTE + """
+    SELECT DISTINCT bigram FROM bg WHERE doc_id < 250
+    INTERSECT
+    SELECT DISTINCT bigram FROM bg WHERE doc_id >= 250
+"""
+ORACLES["bigram_except"] = _BIGRAM_CTE + """
+    SELECT DISTINCT bigram FROM bg WHERE doc_id < 250
+    EXCEPT
+    SELECT DISTINCT bigram FROM bg WHERE doc_id >= 250
+"""
+
+
+# ---------------------------------------------------------------------------
 # embedding aggregation: per-label centroids (nearest-class-mean support)
 # ---------------------------------------------------------------------------
 
