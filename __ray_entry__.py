@@ -7,8 +7,8 @@ crawled images Dataset in the BASELINE.json input_hint shape.
 queries(): one callable per implemented operator/pipeline (SURVEY.md §2 +
 the training-data graft ops); each takes sf_dir.
 
-oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query (33 of
-54); the rest (crawl loop + its sites/stats views, LSH-ANN, highlight
+oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query (35 of
+56); the rest (crawl loop + its sites/stats views, LSH-ANN, highlight
 fragments, phash/simhash/fingerprint, multimodal decode) are rows-only
 checks backed by pytest parity/recall/golden tests instead.
 
