@@ -44,11 +44,19 @@ class CountMinSketch:
         self.counts = np.zeros((d, w), dtype=np.int64)
 
     def _idx(self, keys: list) -> np.ndarray:
+        # a 16-byte md5 digest yields 4 independent 4-byte row hashes;
+        # rows beyond 4 get a SALTED re-hash (md5(f"{r}:{key}")) — slicing
+        # past the digest would give int.from_bytes(b'') == 0 and map every
+        # key in those rows to counter 0 (the whole-stream count)
         out = np.empty((self.d, len(keys)), dtype=np.int64)
         for j, k in enumerate(keys):
             dig = hashlib.md5(str(k).encode()).digest()
             for r in range(self.d):
-                out[r, j] = int.from_bytes(dig[4 * r:4 * r + 4], "little") % self.w
+                if r < 4:
+                    word = dig[4 * r:4 * r + 4]
+                else:
+                    word = hashlib.md5(f"{r}:{k}".encode()).digest()[:4]
+                out[r, j] = int.from_bytes(word, "little") % self.w
         return out
 
     def add(self, keys: list, counts=None) -> None:

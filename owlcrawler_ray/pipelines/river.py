@@ -37,14 +37,14 @@ from ..sinks import table_store
 def _round_postings(pages: pa.Table) -> pa.Table:
     """(word, doc_id, n) partial postings for one round's pages — the
     same word semantics as the couchdb search view (couchdb.go:87-96 +
-    F4 len>2): title + text paragraphs, split on spaces."""
+    F4 len>2): TEXT paragraphs only (the reference designSearch view
+    iterates doc.text.text and never the title), split on spaces."""
     docs, words = [], []
-    for did, title, paras in zip(
+    for did, paras in zip(
         pages.column("doc_id").to_pylist(),
-        pages.column("title").to_pylist(),
         pages.column("text").to_pylist(),
     ):
-        text = " ".join([title] + list(paras))
+        text = " ".join(list(paras))
         for w in text.split(" "):
             if len(w) > 2:
                 docs.append(did)
@@ -63,6 +63,21 @@ def _round_postings(pages: pa.Table) -> pa.Table:
         t.group_by(["word", "doc_id"]).aggregate([([], "count_all")])
         .rename_columns(["word", "doc_id", "n"])
     )
+
+
+def _postings_for_parts(writer_name: str, paths: list[str]) -> pa.Table:
+    """Task-side round read: part paths -> pruned (doc_id, text) read ->
+    postings. Runs as a Ray task so page bytes never touch the driver."""
+    from ..sinks.table_store import WRITERS
+
+    w = WRITERS[writer_name]
+    tables = [w.read(p, columns=["doc_id", "text"]) for p in paths]
+    if not tables:
+        return _round_postings(
+            pa.table({"doc_id": pa.array([], pa.string()),
+                      "text": pa.array([], pa.list_(pa.string()))})
+        )
+    return _round_postings(pa.concat_tables(tables, promote_options="default"))
 
 
 class IndexRiver:
@@ -86,14 +101,20 @@ class IndexRiver:
     def poll(self) -> list[int]:
         """Index every committed-but-unindexed pages round; returns the
         round ids indexed by this call. Each round's postings are computed
-        in a Ray task (the bulk worker) and committed atomically."""
+        in a Ray task (the bulk worker) that reads the round's part files
+        ITSELF, pruned to (doc_id, text) — the driver ships only paths, so
+        no page row (in particular no ``html`` large_binary) ever crosses
+        driver memory. This matches the reference river's remote tail of
+        the change feed (elastic_search.go:169-185)."""
         newly = []
-        postings_task = ray.remote(num_cpus=1)(_round_postings)
+        postings_task = ray.remote(num_cpus=1)(_postings_for_parts)
         pending = self.pending_rounds()
         futs = []
         for r in pending:
-            pages = table_store.read_all_arrow_round(self.out_root, "pages", r)
-            futs.append((r, postings_task.remote(pages)))
+            wname, paths = table_store.round_part_paths(
+                self.out_root, "pages", r
+            )
+            futs.append((r, postings_task.remote(wname, paths)))
         for r, fut in futs:
             delta = ray.get(fut)
             tmp = table_store.begin_round(self.out_root, "windex", r)

@@ -46,8 +46,8 @@ class ParquetWriter:
     def write(self, table: pa.Table, path: str) -> None:
         pq.write_table(table, path)
 
-    def read(self, path: str) -> pa.Table:
-        return pq.read_table(path)
+    def read(self, path: str, columns: list[str] | None = None) -> pa.Table:
+        return pq.read_table(path, columns=columns)
 
     def write_dataset(self, ds, out_dir: str) -> None:
         ds.write_parquet(out_dir)
@@ -77,10 +77,10 @@ class LanceWriter:
 
         _lance.write_dataset(table, path, mode="create")
 
-    def read(self, path: str) -> pa.Table:
+    def read(self, path: str, columns: list[str] | None = None) -> pa.Table:
         import lance as _lance
 
-        return _lance.dataset(path).to_table()
+        return _lance.dataset(path).to_table(columns=columns)
 
     def write_dataset(self, ds, out_dir: str) -> None:
         ds.write_lance(os.path.join(out_dir, "part-ds" + self.ext))
@@ -95,7 +95,8 @@ class LanceWriter:
         return out
 
 
-WRITER = LanceWriter() if HAVE_LANCE else ParquetWriter()
+WRITERS = {"parquet": ParquetWriter(), "lance": LanceWriter()}
+WRITER = WRITERS["lance"] if HAVE_LANCE else WRITERS["parquet"]
 
 
 def _round_dir(root: str, name: str, round_id: int) -> str:
@@ -104,6 +105,39 @@ def _round_dir(root: str, name: str, round_id: int) -> str:
 
 def round_complete(root: str, name: str, round_id: int) -> bool:
     return os.path.exists(os.path.join(_round_dir(root, name, round_id), "_SUCCESS"))
+
+
+def _mark_success(final: str) -> None:
+    """The _SUCCESS marker persists the FORMAT NAME of the writer that
+    produced the round, so a store written as parquet and later opened in
+    a lance-enabled environment (or vice versa) reads back with the
+    matching reader instead of silently matching zero part files."""
+    with open(os.path.join(final, "_SUCCESS"), "w") as f:
+        f.write(WRITER.name)
+
+
+def round_writer(root: str, name: str, round_id: int):
+    """Reader for a committed round, selected from the format name in its
+    _SUCCESS marker. Legacy markers (pre-format, content 'ok') fall back
+    to sniffing the part extensions; unknown content falls back to the
+    import-time WRITER."""
+    d = _round_dir(root, name, round_id)
+    try:
+        with open(os.path.join(d, "_SUCCESS")) as f:
+            tag = f.read().strip()
+    except OSError:
+        tag = ""
+    if tag in WRITERS:
+        return WRITERS[tag]
+    try:
+        names = os.listdir(d)
+    except OSError:
+        names = []
+    for fname in names:
+        for w in WRITERS.values():
+            if fname.startswith("part-") and fname.endswith(w.ext):
+                return w
+    return WRITER
 
 
 def write_round(ds, root: str, name: str, round_id: int) -> str:
@@ -120,8 +154,7 @@ def write_round(ds, root: str, name: str, round_id: int) -> str:
     else:  # ray Dataset — distributed write, one file per block set
         WRITER.write_dataset(ds, tmp)
     os.rename(tmp, final)
-    with open(os.path.join(final, "_SUCCESS"), "w") as f:
-        f.write("ok")
+    _mark_success(final)
     return final
 
 
@@ -146,8 +179,7 @@ def commit_round(root: str, name: str, round_id: int) -> str:
         return final
     shutil.rmtree(final, ignore_errors=True)
     os.rename(tmp, final)
-    with open(os.path.join(final, "_SUCCESS"), "w") as f:
-        f.write("ok")
+    _mark_success(final)
     return final
 
 
@@ -198,14 +230,25 @@ def list_rounds(root: str, name: str) -> list[int]:
     return out
 
 
-def _part_paths(root: str, name: str) -> list[str]:
+def round_part_paths(root: str, name: str, round_id: int) -> tuple[str, list[str]]:
+    """(writer_name, part paths) for one committed round — the plumbing
+    that lets tasks read a round remotely (see pipelines/river.py) without
+    the driver touching row data."""
+    w = round_writer(root, name, round_id)
+    d = _round_dir(root, name, round_id)
+    return w.name, [
+        os.path.join(d, f) for f in sorted(os.listdir(d))
+        if f.startswith("part-") and f.endswith(w.ext)
+    ]
+
+
+def _part_paths(root: str, name: str) -> list[tuple[str, str]]:
+    """[(writer_name, path)] across committed rounds — each round read
+    with the format its _SUCCESS marker records."""
     out = []
     for r in list_rounds(root, name):
-        d = _round_dir(root, name, r)
-        out.extend(
-            os.path.join(d, f) for f in sorted(os.listdir(d))
-            if f.endswith(WRITER.ext)
-        )
+        wname, paths = round_part_paths(root, name, r)
+        out.extend((wname, p) for p in paths)
     return out
 
 
@@ -213,19 +256,25 @@ def read_all(root: str, name: str):
     """All committed rounds as one ray Dataset (lazy, streaming)."""
     import ray.data as rd
 
-    files = _part_paths(root, name)
-    if not files:
+    pairs = _part_paths(root, name)
+    if not pairs:
         return rd.from_items([])
-    return WRITER.dataset(files)
+    # mixed-format stores (written across environments) union one lazy
+    # dataset per format
+    by_writer: dict[str, list[str]] = {}
+    for wname, p in pairs:
+        by_writer.setdefault(wname, []).append(p)
+    parts = [WRITERS[wname].dataset(files) for wname, files in by_writer.items()]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
 def read_all_arrow_round(root: str, name: str, round_id: int) -> pa.Table:
     """One committed round's parts as an Arrow table."""
-    d = _round_dir(root, name, round_id)
-    tables = [
-        WRITER.read(os.path.join(d, f))
-        for f in sorted(os.listdir(d)) if f.endswith(WRITER.ext)
-    ]
+    wname, paths = round_part_paths(root, name, round_id)
+    tables = [WRITERS[wname].read(p) for p in paths]
     if not tables:
         return pa.table({})
     return pa.concat_tables(tables, promote_options="default")
@@ -233,7 +282,7 @@ def read_all_arrow_round(root: str, name: str, round_id: int) -> pa.Table:
 
 def read_all_arrow(root: str, name: str) -> pa.Table:
     """All committed rounds as one in-memory Arrow table (small/test use)."""
-    tables = [WRITER.read(p) for p in _part_paths(root, name)]
+    tables = [WRITERS[wname].read(p) for wname, p in _part_paths(root, name)]
     if not tables:
         return pa.table({})
     return pa.concat_tables(tables, promote_options="default")

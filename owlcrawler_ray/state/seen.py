@@ -49,6 +49,11 @@ class CuckooFilter:
         self.buckets = np.zeros((nb, 4), dtype=np.uint16)
         self.count = 0
         self._lcg = np.uint64(0x9E3779B97F4A7C15)
+        # number of failed kick chains: each one strands a fingerprint
+        # (possibly a VICTIM key's, not the inserter's), so once > 0 the
+        # no-false-negatives invariant no longer holds and callers must
+        # stop trusting filter negatives (see SeenShard.contains_many)
+        self.dropped = 0
 
     # -- hashing helpers ------------------------------------------------
     def _fp(self, h: np.ndarray) -> np.ndarray:
@@ -109,7 +114,11 @@ class CuckooFilter:
                 row[empt[0]] = cur
                 self.count += 1
                 return True
-        return False  # table over-full; caller falls back to exact set only
+        # table over-full: `cur` (a kicked VICTIM's fingerprint, not
+        # necessarily the inserter's) is stranded — record the drop so
+        # membership paths stop treating filter negatives as definitive
+        self.dropped += 1
+        return False
 
     def delete(self, h: int) -> bool:
         ha = np.array([h], dtype=np.uint64)
@@ -131,6 +140,7 @@ class CuckooFilter:
             "buckets": self.buckets.copy(),
             "count": self.count,
             "lcg": int(self._lcg),
+            "dropped": self.dropped,
         }
 
     def restore(self, st: dict) -> None:
@@ -139,6 +149,7 @@ class CuckooFilter:
         self.buckets = st["buckets"].copy()
         self.count = st["count"]
         self._lcg = np.uint64(st["lcg"])
+        self.dropped = st.get("dropped", 0)
 
 
 class BloomFilter:
@@ -275,7 +286,16 @@ class SeenShard:
                 return np.fromiter(
                     (u in self.urls for u in urls), dtype=bool, count=len(urls)
                 )
-            # filter-first: negatives are definitive, positives verified
+            # filter-first: negatives are definitive, positives verified.
+            # EXCEPT once a cuckoo kick chain has dropped a fingerprint
+            # (filter saturated): a dropped victim key is NOT in overflow,
+            # so negatives stop being trustworthy — fall back to exact
+            # checks for every probe until restore() rebuilds the filter.
+            if getattr(self.filter, "dropped", 0) > 0:
+                return np.fromiter(
+                    (self._exact_contains(u) for u in urls),
+                    dtype=bool, count=len(urls),
+                )
             mask = self.filter.contains_many(url_hash64_many(urls))
             out = np.zeros(len(urls), dtype=bool)
             for i, (u, m) in enumerate(zip(urls, mask)):
@@ -290,12 +310,23 @@ class SeenShard:
 
     def _insert(self, u: str, h) -> None:
         """Shared insert path: revive a tombstoned spilled URL (membership
-        comes back via its immutable run — its fingerprint never left the
-        filter, see remove_many) or add to the hot set + filter."""
+        comes back via its immutable run) or add to the hot set + filter.
+
+        On revive, filter coverage must be RE-ESTABLISHED, not assumed: an
+        overflow-backed spilled URL never had its fingerprint inserted
+        (the insert failed), so returning early on _in_runs alone would
+        leave a filter-first false negative forever."""
         if u in self.tombstones:
             self.tombstones.discard(u)
             if self._in_runs(u):
-                return  # revived: the run row is the membership again
+                # revived: the run row is the membership again, but make
+                # sure the filter (or overflow) covers it
+                if self.deletable and not self.filter.contains_many(
+                    np.array([h], dtype=np.uint64)
+                )[0]:
+                    if not self.filter.insert(int(h)):
+                        self.overflow.add(u)
+                return
         self.urls.add(u)
         if self.deletable:
             if not self.filter.insert(int(h)):
@@ -333,7 +364,13 @@ class SeenShard:
         could evict another key's identical fingerprint and break the
         no-false-negatives invariant the filter-first membership path
         relies on. A stale fingerprint only costs one extra exact check on
-        that slot's ~fp-rate of probes."""
+        that slot's ~fp-rate of probes.
+
+        The invariant holds only while no kick chain has ever dropped a
+        fingerprint; once ``filter.dropped > 0`` (saturation) the
+        membership path disables the filter-first fast path entirely, so
+        saturation degrades to exact-only checks rather than silent false
+        negatives."""
         removed = 0
         for u in urls:
             if not self._known(u):

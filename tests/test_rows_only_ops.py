@@ -379,3 +379,24 @@ def test_quantiles_price_within_tolerance(ray_session):
     assert list(got["q"]) == [0.25, 0.5, 0.75, 0.95]
     for est, true in zip(got["value_est"], exact):
         assert abs(est - true) / true < 0.02, (est, true)
+
+
+def test_count_min_sketch_deep_rows_salted():
+    """ADVICE r2: rows beyond the 4 md5 words must use a salted re-hash —
+    a d>4 sketch previously mapped EVERY key's deep rows to counter 0,
+    silently returning the whole-stream count."""
+    from owlcrawler_ray.functions.sketch import CountMinSketch
+
+    s = CountMinSketch(w=256, d=8)
+    keys = [f"k{i}" for i in range(50)]
+    s.add(keys * 3)
+    # deep rows are real hashes: not everything in rows >= 4 lands on 0
+    idx = s._idx(keys)
+    for r in range(4, 8):
+        assert len(set(idx[r].tolist())) > 1
+    # estimates upper-bound truth and stay near it (d=8 <= d=4 estimates)
+    est = s.estimate(keys)
+    assert (est >= 3).all() and est.max() <= 3 * 5
+    s4 = CountMinSketch(w=256, d=4)
+    s4.add(keys * 3)
+    assert (est <= s4.estimate(keys)).all()

@@ -196,3 +196,40 @@ def test_seen_shard_spill_remove_then_readd(tmp_path):
     assert s.size() == len(batch)
     # snapshot equals the logical set
     assert set(s.snapshot().column("url").to_pylist()) == set(batch)
+
+
+def test_seen_shard_overflow_backed_revive(tmp_path):
+    """ADVICE r2 (medium): a spilled URL whose cuckoo insert FAILED
+    (overflow-backed — its fingerprint was never in the filter) must stay
+    visible after remove -> re-add. The revive path has to re-establish
+    filter coverage, not early-return on run membership."""
+    d = str(tmp_path / "tiny")
+    s = SeenShard(0, capacity=8, spill_dir=d, max_mem_urls=20)
+    batch = [f"http://h{i % 3}.test/p{i}" for i in range(200)]
+    s.add_many(batch)
+    assert s.contains_many(batch).all()
+    # pick victims that are BOTH in a spilled run and overflow-backed if
+    # any exist; exercising all of them covers the overflow-backed case
+    victims = batch[:40]
+    s.remove_many(victims)
+    assert not s.contains_many(victims).any()
+    s.add_many(victims)
+    assert s.contains_many(victims).all()  # the r2 permanent false negative
+    assert s.contains_many(batch).all()
+
+
+def test_cuckoo_saturation_disables_filter_fast_path(tmp_path):
+    """ADVICE r2 (low): a failed kick chain strands a VICTIM key's
+    fingerprint. Once that happens the shard must stop trusting filter
+    negatives (exact-check everything) so saturation degrades to slow,
+    never to silent false negatives."""
+    d = str(tmp_path / "sat")
+    s = SeenShard(0, capacity=8, spill_dir=d, max_mem_urls=50)
+    batch = [f"http://h{i % 5}.test/q{i}" for i in range(400)]
+    s.add_many(batch)
+    # the undersized filter must have saturated for this test to bite
+    assert getattr(s.filter, "dropped", 0) > 0
+    assert s.contains_many(batch).all()  # 16/200-invisible repro: fixed
+    assert not s.contains_many(["http://new.test/x"]).any()
+    # test_and_set still exact under saturation
+    assert not s.test_and_set_many(batch[:25]).any()

@@ -80,3 +80,35 @@ def test_store_dataset_read_through_writer(ray_session, tmp_path, kind,
     ds = ts.read_all(root, "images")
     assert ds.count() == 40
     assert sorted(ds.schema().names) == sorted(t.schema.names)
+
+
+def test_format_marker_survives_environment_change(tmp_path, monkeypatch):
+    """ADVICE r2: the _SUCCESS marker persists the writer FORMAT, so a
+    store written as parquet still reads back after the environment gains
+    lance (WRITER flips) — previously such rounds silently read as empty."""
+    root = str(tmp_path / "store")
+    t = pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    monkeypatch.setattr(ts, "WRITER", ts.WRITERS["parquet"])
+    ts.write_round(t, root, "pages", 0)
+    with open(f"{root}/pages/round=000000/_SUCCESS") as f:
+        assert f.read() == "parquet"
+    # same store opened in a "lance-enabled" environment: import-time
+    # WRITER is lance, but the round's marker selects the parquet reader
+    monkeypatch.setattr(ts, "WRITER", ts.WRITERS["lance"])
+    assert ts.round_writer(root, "pages", 0).name == "parquet"
+    assert ts.read_all_arrow(root, "pages").num_rows == 3
+    assert ts.read_all_arrow_round(root, "pages", 0).num_rows == 3
+
+
+def test_format_marker_legacy_ok_sniffs_extension(tmp_path, monkeypatch):
+    """Rounds committed by pre-marker versions (_SUCCESS content 'ok')
+    fall back to extension sniffing of the part files."""
+    root = str(tmp_path / "legacy")
+    t = pa.table({"k": [1, 2]})
+    monkeypatch.setattr(ts, "WRITER", ts.WRITERS["parquet"])
+    ts.write_round(t, root, "pages", 0)
+    with open(f"{root}/pages/round=000000/_SUCCESS", "w") as f:
+        f.write("ok")
+    monkeypatch.setattr(ts, "WRITER", ts.WRITERS["lance"])
+    assert ts.round_writer(root, "pages", 0).name == "parquet"
+    assert ts.read_all_arrow(root, "pages").num_rows == 2
