@@ -8,9 +8,10 @@ atomic table_store machinery (begin/commit + ``_SUCCESS``):
     out_root/bucket=0007/round=000000/part-*.parquet
     out_root/bucket=0007/round=000000/_SUCCESS
 
-Pipeline: documents stream -> quality filter (n_chars >= min_chars, the
-stats-view "parsed" predicate) -> exact dedup (md5(text), first-writer-
-wins keep-id set broadcast) -> bucket = doc_id % n_buckets -> per-bucket
+Pipeline: documents stream -> exact dedup (md5(text), first-writer-wins;
+keep-ids stay a Dataset, filtered in with a hash-partitioned LEFT SEMI
+join) -> quality filter (n_chars >= min_chars, the stats-view "parsed"
+predicate) -> bucket = doc_id % n_buckets -> per-bucket
 part files written FROM INSIDE the map tasks (content-keyed names, so
 task retries overwrite idempotently) -> driver commits each bucket dir.
 
@@ -155,12 +156,15 @@ def export_corpus(sf_dir: str, out_root: str, n_buckets: int = 16) -> pa.Table:
             ds.map_batches(keep_partial, batch_format="pyarrow")
             .groupby("h").aggregate(Min("keep_p", alias_name="keep_id"))
         )
-        keep = np.unique(
-            pa.concat_tables(
-                ray.get(keep_tbl.select_columns(["keep_id"]).to_arrow_refs())
-            ).column("keep_id").to_numpy()
+        # the keep-id set stays a DATASET: hash-partitioned LEFT SEMI join
+        # instead of an O(distinct-docs) np.unique array on the driver
+        # (the r2 verdict's scale-killer) — keep_ids are unique (one min
+        # doc_id per content hash), so the semi join neither duplicates
+        # nor drops survivors
+        ds = ds.join(
+            keep_tbl.select_columns(["keep_id"]), join_type="left_semi",
+            num_partitions=8, on=("doc_id",), right_on=("keep_id",),
         )
-        keep_ref = ray.put(keep)
         tmps = {
             b: table_store.begin_round(out_root, _bucket_name(b), 0)
             for b in todo
@@ -168,16 +172,11 @@ def export_corpus(sf_dir: str, out_root: str, n_buckets: int = 16) -> pa.Table:
         tmps_ref = ray.put(tmps)
 
         def shard_write(batch: pa.Table) -> pa.Table:
-            ks = ray.get(keep_ref)
             tdirs = ray.get(tmps_ref)
             batch = batch.filter(
                 pc.greater_equal(batch.column("n_chars"), MIN_CHARS)
             )
             ids = batch.column("doc_id").to_numpy()
-            if len(ids):
-                pos = np.minimum(np.searchsorted(ks, ids), len(ks) - 1)
-                batch = batch.filter(pa.array(ks[pos] == ids))
-                ids = batch.column("doc_id").to_numpy()
             buckets = (ids % n_buckets).astype(np.int64)
             out_b, out_n = [], []
             for b in np.unique(buckets):

@@ -400,3 +400,37 @@ def test_count_min_sketch_deep_rows_salted():
     s4 = CountMinSketch(w=256, d=4)
     s4.add(keys * 3)
     assert (est <= s4.estimate(keys)).all()
+
+
+def test_hot_bucket_skew_cap_unit(monkeypatch, caplog):
+    """Driver-side pair assembly is bounded: a mega-bucket's member list
+    is capped at MAX_BUCKET_MEMBERS and the dropped volume is counted and
+    LOGGED (the 'no silent caps' rule)."""
+    from owlcrawler_ray.pipelines import queries as Q
+
+    monkeypatch.setattr(Q, "MAX_BUCKET_MEMBERS", 100)
+    dropped = [0]
+    ms = Q._cap_members(list(range(100_000)), dropped)
+    assert len(ms) == 100 and ms == list(range(100))
+    assert dropped[0] == 99_900
+    with caplog.at_level("WARNING", logger="owlcrawler_ray.queries"):
+        Q._log_dropped(dropped, "unit")
+    assert "skew cap" in caplog.text and "99900" in caplog.text
+
+
+def test_minhash_mega_bucket_completes_under_cap(ray_session, monkeypatch,
+                                                 caplog):
+    """End-to-end skew guard: with the cap forced below the corpus's
+    planted duplicate buckets, minhash_lsh_pairs COMPLETES (no driver
+    pair blow-up) and logs what it dropped instead of silently pretending
+    full coverage."""
+    import pyarrow as pa
+
+    from owlcrawler_ray.pipelines import queries as Q
+
+    monkeypatch.setattr(Q, "MAX_BUCKET_MEMBERS", 1)
+    with caplog.at_level("WARNING", logger="owlcrawler_ray.queries"):
+        out = Q.QUERIES["minhash_lsh_pairs"]("/root/testdata/sf0.001")
+    assert isinstance(out, pa.Table)
+    assert out.num_rows == 0  # every bucket truncated to 1 member
+    assert "minhash_lsh_pairs" in caplog.text and "skew cap" in caplog.text

@@ -233,3 +233,41 @@ def test_cuckoo_saturation_disables_filter_fast_path(tmp_path):
     assert not s.contains_many(["http://new.test/x"]).any()
     # test_and_set still exact under saturation
     assert not s.test_and_set_many(batch[:25]).any()
+
+
+def test_bloom_sparse_partials_assemble_exactly():
+    """anti_join_bloom's distributed build: sparse bit-index partials
+    (O(batch keys), never O(build cardinality)) OR-assembled per bit-range
+    shard must equal the filter built by add_many — and the partial bytes
+    must not scale with the build-side capacity."""
+    from owlcrawler_ray.state.seen import bloom_bit_indices
+
+    batch = url_hash64_many([f"http://k{i}.test/" for i in range(500)])
+
+    small, big = BloomFilter(10_000), BloomFilter(50_000_000)
+    p_small = np.unique(bloom_bit_indices(batch, small.m, small.k).ravel())
+    p_big = np.unique(bloom_bit_indices(batch, big.m, big.k).ravel())
+    # partial size is O(batch x k): bounded by the key count either way
+    assert len(p_big) <= len(batch) * big.k
+    # and ~independent of capacity: nowhere near the full-width bit array
+    # (the r2 flaw shipped big.m bits — >5 MB — per partial)
+    assert p_big.nbytes < p_small.nbytes * (big.k / small.k) * 2
+    assert p_big.nbytes * 20 < big.m // 8
+
+    # shard-OR assembly reproduces add_many bit-for-bit
+    direct = BloomFilter(10_000)
+    direct.add_many(batch)
+    n_shards = 8
+    span = direct.m // n_shards
+    assembled = BloomFilter(10_000)
+    shards = (p_small // span).astype(np.int64)
+    for s in range(n_shards):
+        local = p_small[shards == s] - s * span
+        words = np.zeros(span // 64, dtype=np.uint64)
+        np.bitwise_or.at(
+            words, (local >> 6).astype(np.int64),
+            np.uint64(1) << (local.astype(np.uint64) & np.uint64(63)),
+        )
+        assembled.bits[s * (span // 64):(s + 1) * (span // 64)] = words
+    assert np.array_equal(assembled.bits, direct.bits)
+    assert assembled.contains_many(batch).all()
