@@ -9,8 +9,14 @@ Headline = the flagship crawl (fetch -> extract -> decode -> sink) over the
 deterministic synthetic web (BENCH_WEB scale), plus per-query timings for
 the operator suite over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
 
-  python bench.py              # one run at $RAY_GRAFT_CPUS (default 32)
-  python bench.py --scaling    # 8-cpu vs 32-cpu subprocess runs + efficiency
+  python bench.py              # best-of-2 at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling    # 2-cpu vs 8-cpu subprocess runs + efficiency
+
+The VM has noisy neighbors (identical runs measured 49 s vs 83 s), so
+EVERY reported number is a min-of-2: the headline crawl runs as two fresh
+subprocess sessions, the query suite as two in-process passes — both raw
+legs are recorded in the JSON so round-over-round deltas measure the
+engine, not the neighbors.
 """
 
 from __future__ import annotations
@@ -66,6 +72,10 @@ BENCH_QUERIES = [
     "cms_frequent_words",
     "anti_join_bloom",
     "quantiles_price",
+    "search_es_envelope",
+    "bigram_intersect",
+    "bigram_except",
+    "label_centroids",
 ]
 
 
@@ -170,19 +180,73 @@ def run_once() -> dict:
     return out
 
 
-def run_scaling() -> dict:
-    def sub_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        )
-        return json.loads(proc.stdout.strip().splitlines()[-1])
+def _crawl_leg(ncpu: int) -> dict:
+    """One crawl-only bench run in a FRESH subprocess/Ray session."""
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, check=True,
+    )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
 
+
+def run_default() -> dict:
+    """Default bench: headline crawl = min of TWO fresh subprocess legs;
+    query suite = per-query min of TWO in-process passes. Raw legs are
+    kept in the JSON (crawl_legs / queries_runs)."""
+    import logging
+
+    import ray
+    import ray.data as rd
+    from ray.data import DataContext
+
+    legs = [_crawl_leg(NCPU), _crawl_leg(NCPU)]
+    best = min(legs, key=lambda r: r["crawl"]["sec"])
+
+    ray.init(
+        address="local", num_cpus=NCPU, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from owlcrawler_ray.pipelines.queries import QUERIES
+
+    for name in ("lineitem", "orders", "documents", "events", "embeddings"):
+        with open(f"{SF_DIR}/{name}.parquet", "rb") as f:
+            f.read()
+    runs = []
+    for _ in range(2):
+        qtimes = {}
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            res = QUERIES[name](SF_DIR)
+            if isinstance(res, rd.Dataset):
+                res.count()
+            qtimes[name] = round(time.perf_counter() - t0, 3)
+        runs.append(qtimes)
+    ray.shutdown()
+    qmin = {n: min(r[n] for r in runs) for n in BENCH_QUERIES}
+
+    return {
+        "metric": "crawl fetch+decode wall-clock (synthetic web, parity "
+                  "mode, min-of-2 fresh sessions) + operator suite timings "
+                  "(min-of-2 passes)",
+        "value": best["crawl"]["sec"],
+        "unit": "sec",
+        "queries": qmin,
+        "queries_runs": runs,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "num_cpus": NCPU,
+        "crawl": best["crawl"],
+        "crawl_legs": [l["crawl"] for l in legs],
+    }
+
+
+def run_scaling() -> dict:
     def sub(ncpu: int) -> dict:
         # best-of-2: the sandbox VM has noisy neighbors (observed 49s vs
         # 83s for identical runs); min-of-repeats measures the engine
-        a, b = sub_once(ncpu), sub_once(ncpu)
+        a, b = _crawl_leg(ncpu), _crawl_leg(ncpu)
         return a if a["crawl"]["sec"] <= b["crawl"]["sec"] else b
 
     # N=2 vs 4N=8: both legs sit well inside the PHYSICAL core budget. The
@@ -291,5 +355,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--megaround" in sys.argv:
         print(json.dumps(run_megaround()))
+    elif os.environ.get("GRAFT_SKIP_QUERIES") == "1":
+        print(json.dumps(run_once()))  # crawl-only leg (fresh session)
     else:
-        print(json.dumps(run_once()))
+        print(json.dumps(run_default()))

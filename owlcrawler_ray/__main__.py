@@ -25,7 +25,7 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     import ray
 
-    from .pipelines.crawl import CrawlConfig, run_crawl
+    from .pipelines.crawl import CrawlConfig
     from .sources.corpus import WebConfig
 
     p = argparse.ArgumentParser(prog="python -m owlcrawler_ray")
@@ -42,6 +42,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--fetch-concurrency", type=int, default=16)
     p.add_argument("--robots", action="store_true",
                    help="fetch+cache robots.txt per host (polite mode)")
+    p.add_argument("--add-site", action="append", default=[],
+                   metavar="URL",
+                   help="inject a new seed site before running (repeatable;"
+                        " with --resume this grows an existing crawl — the"
+                        " webapp submit-a-site path)")
     p.add_argument("--num-hosts", type=int, default=6)
     p.add_argument("--base-pages", type=int, default=12)
     p.add_argument("--seed-hosts", type=int, default=3)
@@ -68,7 +73,11 @@ def main(argv: list[str] | None = None) -> int:
         fetch_robots=args.robots,
         keep_logs=False,
     )
-    crawler, summary = run_crawl(cfg, resume=args.resume)
+    from .pipelines.crawl import Crawler
+    crawler = Crawler(cfg, resume=args.resume)
+    if args.add_site:
+        crawler.add_sites(args.add_site)
+    summary = crawler.run()
     crawler.shutdown()
     print(json.dumps(summary))
     if started_ray:

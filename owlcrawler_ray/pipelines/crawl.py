@@ -279,6 +279,62 @@ class Crawler:
         )
         self.next_seq = len(seeds)
 
+    def add_sites(self, urls: list[str]) -> int:
+        """Runtime seed injection — the reference webapp's submit-a-site
+        path (webapp/main.go:143-196: persist couchdb.NewSite, publish the
+        URL to ``fetch_url`` mid-stream). Callable between rounds on a
+        live crawler, or right after a resumed construction, to GROW the
+        crawl without restarting it.
+
+        Semantics mirrored exactly:
+          * the ``site-`` doc is persisted idempotently — a doc id already
+            in the sites table is skipped (the CouchDB 409 first-writer
+            analog, couchdb.go:147-151) and NOT re-enqueued;
+          * new URLs join the frontier TAIL with fresh discovered_seqs —
+            ordering parity: an injected seed behaves exactly like a link
+            discovered at the current tick (FIFO position), which is what
+            the reference's NATS publish does;
+          * persistence and enqueue are two steps, like the reference's
+            store-then-publish: a kill between checkpoint windows keeps
+            the site doc (it stays in the sites view) but may lose the
+            enqueue — the same at-most-once publish the reference has.
+
+        Returns the number of sites actually injected."""
+        existing: set[str] = set()
+        t = self.sites_table()
+        if t.num_rows:
+            existing = set(t.column("doc_id").to_pylist())
+        fresh, seen_call = [], set()
+        for u in urls:
+            d = ids.seed_doc_id(u)
+            if d in existing or d in seen_call:
+                continue
+            seen_call.add(d)
+            fresh.append(u)
+        if not fresh:
+            return 0
+        base = t.num_rows
+        rounds = table_store.list_rounds(self.cfg.out_dir, "sites")
+        rid = (max(rounds) + 1) if rounds else 0
+        table_store.write_round(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        [ids.seed_doc_id(u) for u in fresh], pa.string()
+                    ),
+                    "site": pa.array(fresh, pa.string()),
+                    "submitted_seq": pa.array(
+                        np.arange(base, base + len(fresh), dtype=np.int64)
+                    ),
+                }
+            ),
+            self.cfg.out_dir, "sites", rid,
+        )
+        seqs = list(range(self.next_seq, self.next_seq + len(fresh)))
+        self.next_seq += len(fresh)
+        self._push_frontier(fresh, [0] * len(fresh), [0.0] * len(fresh), seqs)
+        return len(fresh)
+
     def _host_shard(self, hosts: list[str]) -> np.ndarray:
         return ids.shard_of(hosts, self.cfg.num_frontier_shards)
 

@@ -56,11 +56,21 @@ class OracleResult:
 
 
 def run_oracle(web: SyntheticWeb, max_ticks: int = 10**9,
-               tick_seconds: int = 5) -> OracleResult:
+               tick_seconds: int = 5,
+               inject: dict[int, list[str]] | None = None) -> OracleResult:
+    """``inject`` maps a tick T -> seed URLs submitted while the crawler
+    runs (the webapp's add-a-site path): they join the queue TAIL once the
+    clock has reached T — i.e. after every link discovered through tick T
+    is already queued, exactly where a NATS publish would land them."""
     res = OracleResult()
     queue: deque[str] = deque(web.seeds())
+    pending = dict(inject) if inject else {}
     tick = 0
-    while queue and tick < max_ticks:
+    while (queue or pending) and tick < max_ticks:
+        for t in sorted(k for k in pending if k <= tick):
+            queue.extend(pending.pop(t))
+        if not queue:
+            break
         url = queue.popleft()
         if url in res.seen:
             continue  # F1 dequeue check: doc exists -> discard, no tick

@@ -292,3 +292,50 @@ def test_actor_stage_fetcher_parity(ray_session, tmp_path):
         ]
     finally:
         c.shutdown()
+
+
+def test_add_sites_mid_crawl_parity(ray_session, tmp_path):
+    """Runtime seed injection (webapp submit-a-site): sites added after
+    the crawl has consumed N ticks are crawled with exact ordering parity
+    (they join the queue tail, like a NATS publish at that tick), appear
+    in the sites table, and re-submission is a no-op (the 409 analog)."""
+    base = str(tmp_path / "inject")
+    T = 10
+    new_sites = ["http://host-2.test/", "http://host-3.test/"]
+    cfg = CrawlConfig(
+        web=SMALL_WEB, budget_per_round=4, max_ticks=T,
+        out_dir=f"{base}/out", ckpt_dir=f"{base}/ckpt",
+        fetch_concurrency=2, image_concurrency=1,
+    )
+    c, _ = run_crawl(cfg)
+    try:
+        assert c.tick == T
+        assert c.add_sites(new_sites) == 2
+        # idempotent re-submit: site docs exist -> skipped, not re-queued
+        assert c.add_sites(new_sites) == 0
+        c.cfg.max_ticks = None
+        c.run()
+
+        want = run_oracle(SyntheticWeb(SMALL_WEB), inject={T: new_sites})
+        got_attempts = [
+            (a["tick"], a["url"], a["status"])
+            for a in c.attempts_table().sort_by("tick").to_pylist()
+        ]
+        assert got_attempts == [
+            (a["tick"], a["url"], a["status"]) for a in want.attempts
+        ]
+        order = [
+            f["url"] for f in sorted(c.fetch_log, key=lambda f: f["fetch_seq"])
+        ]
+        assert order == want.fetch_order
+        assert {p for p in c.pages_table().column("url").to_pylist()} == want.seen
+        # injected sites really got crawled (they are unreachable organically)
+        assert all(u in want.seen for u in new_sites)
+        # sites table: original seeds + the two injected docs, in order
+        sites = c.sites_table().sort_by("submitted_seq")
+        assert sites.column("site").to_pylist() == (
+            SyntheticWeb(SMALL_WEB).seeds() + new_sites
+        )
+        assert sites.column("submitted_seq").to_pylist() == [0, 1, 2, 3]
+    finally:
+        c.shutdown()

@@ -434,3 +434,20 @@ def test_minhash_mega_bucket_completes_under_cap(ray_session, monkeypatch,
     assert isinstance(out, pa.Table)
     assert out.num_rows == 0  # every bucket truncated to 1 member
     assert "minhash_lsh_pairs" in caplog.text and "skew cap" in caplog.text
+
+
+def test_search_es_result_envelope_shape(ray_session):
+    """Reference Result envelope (Took/Hits{Total,MaxScore,Hits}): took is
+    runtime metadata; total/max_score must be consistent with the hit rows
+    (each independently SQL-oracled)."""
+    from owlcrawler_ray.pipelines.queries import search_es_result
+
+    res = search_es_result("/root/testdata/sf0.001")
+    assert set(res) == {"took_ms", "hits"}
+    assert res["took_ms"] >= 0
+    h = res["hits"]
+    assert set(h) == {"total", "max_score", "hits"}
+    assert h["total"] >= len(h["hits"]) and len(h["hits"]) <= 10
+    scores = [r["score"] for r in h["hits"]]
+    assert scores == sorted(scores, reverse=True)
+    assert h["max_score"] == scores[0]  # page 1 leads with the global max
