@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "bigram_intersect",
     "bigram_except",
     "label_centroids",
+    "events_asof_join",
+    "events_range_join",
 ]
 
 

@@ -2989,6 +2989,153 @@ ORACLES["partitioned_join"] = """
 
 
 # ---------------------------------------------------------------------------
+# as-of join (custom operator — Ray Data has no native ASOF)
+# ---------------------------------------------------------------------------
+
+def q_events_asof_join(sf_dir: str):
+    """AS-OF JOIN: attribute each ``purchase`` event to the LATEST
+    ``click`` by the same user at-or-before its timestamp (tie on ts ->
+    max event_id; purchases with no prior click drop — inner as-of).
+
+    The composition for an operator Ray Data lacks natively: filtered
+    pruned read -> ONE hash shuffle on user_id -> per-group vectorized
+    sorted merge (sort clicks once, np.searchsorted for every purchase).
+    No pairwise product anywhere — the naive equi-join on user_id then
+    filter+rank is O(clicks x purchases) per user; this is
+    O((clicks + purchases) log clicks).
+
+    Partitioning assumption (documented per the briefing's custom-operator
+    rule): one user's history fits one group. At 10^10 events,
+    range-partition (user_id, time_bucket) and replicate only each
+    bucket's LAST click into the next bucket — state per boundary is one
+    row, so the shuffle stays balanced under power-law users."""
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    ).filter(expr="event_type == 'purchase' or event_type == 'click'")
+
+    empty = pa.table(
+        {"purchase_id": pa.array([], pa.int64()),
+         "user_id": pa.array([], pa.int64()),
+         "click_id": pa.array([], pa.int64()),
+         "lag_us": pa.array([], pa.int64())}
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        clicks = group.filter(pc.equal(group.column("event_type"), "click"))
+        purch = group.filter(pc.equal(group.column("event_type"), "purchase"))
+        if clicks.num_rows == 0 or purch.num_rows == 0:
+            return empty
+        clicks = clicks.take(
+            pc.sort_indices(clicks, sort_keys=[("ts", "ascending"),
+                                               ("event_id", "ascending")])
+        )
+        cts = pc.cast(clicks.column("ts"), pa.int64()).to_numpy()
+        cid = clicks.column("event_id").to_numpy()
+        pts = pc.cast(purch.column("ts"), pa.int64()).to_numpy()
+        pid = purch.column("event_id").to_numpy()
+        # rightmost click with ts <= purchase ts; equal-ts clicks sort by
+        # event_id, so idx-1 lands on the max event_id of the latest ts
+        pos = np.searchsorted(cts, pts, side="right") - 1
+        ok = pos >= 0
+        pos = pos[ok]
+        return pa.table(
+            {
+                "purchase_id": pa.array(pid[ok]),
+                "user_id": pa.array(
+                    purch.column("user_id").to_numpy()[ok]
+                ),
+                "click_id": pa.array(cid[pos]),
+                # exact microsecond lag: the event ts carry sub-second
+                # parts, so a seconds-granularity diff would be a lossy
+                # boundary count (and disagree with SQL date_diff)
+                "lag_us": pa.array(pts[ok] - cts[pos]),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(merge, batch_format="pyarrow")
+
+
+QUERIES["events_asof_join"] = q_events_asof_join
+ORACLES["events_asof_join"] = """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+         j AS (
+           SELECT p.event_id AS purchase_id, p.user_id,
+                  c.event_id AS click_id,
+                  CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT)
+                      AS lag_us,
+                  row_number() OVER (
+                      PARTITION BY p.event_id
+                      ORDER BY c.ts DESC, c.event_id DESC
+                  ) AS rn
+           FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+         )
+    SELECT purchase_id, user_id, click_id, lag_us FROM j WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# range (interval) join — the second custom-operator class
+# ---------------------------------------------------------------------------
+
+def q_events_range_join(sf_dir: str):
+    """RANGE JOIN: for every ``signup`` event, count that user's
+    ``error`` events in the hour AFTER it (ts in (signup, signup+1h]) —
+    the band-predicate join a naive engine turns into an O(n^2) product.
+
+    Same shape as q_events_asof_join: pruned filtered read -> one hash
+    shuffle on user_id -> per-group two binary searches per probe row
+    over the sorted build side (count = searchsorted(hi) -
+    searchsorted(lo)). Signups with zero errors are kept (left join
+    semantics). Partitioning assumption: as with as-of, range-partition
+    (user, time_bucket) at scale and replicate only rows within one band
+    width of a bucket boundary."""
+    band_us = 3_600_000_000  # 1 hour
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    ).filter(expr="event_type == 'signup' or event_type == 'error'")
+
+    empty = pa.table(
+        {"signup_id": pa.array([], pa.int64()),
+         "user_id": pa.array([], pa.int64()),
+         "n_errors_1h": pa.array([], pa.int64())}
+    )
+
+    def count_band(group: pa.Table) -> pa.Table:
+        sign = group.filter(pc.equal(group.column("event_type"), "signup"))
+        if sign.num_rows == 0:
+            return empty
+        errs = group.filter(pc.equal(group.column("event_type"), "error"))
+        ets = np.sort(pc.cast(errs.column("ts"), pa.int64()).to_numpy())
+        sts = pc.cast(sign.column("ts"), pa.int64()).to_numpy()
+        n = (
+            np.searchsorted(ets, sts + band_us, side="right")
+            - np.searchsorted(ets, sts, side="right")
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "signup_id": pa.array(sign.column("event_id").to_numpy()),
+                "user_id": pa.array(sign.column("user_id").to_numpy()),
+                "n_errors_1h": pa.array(n),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(count_band, batch_format="pyarrow")
+
+
+QUERIES["events_range_join"] = q_events_range_join
+ORACLES["events_range_join"] = """
+    SELECT s.event_id AS signup_id, s.user_id,
+           CAST(count(e.event_id) AS BIGINT) AS n_errors_1h
+    FROM events s LEFT JOIN events e
+      ON e.user_id = s.user_id AND e.event_type = 'error'
+     AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR
+    WHERE s.event_type = 'signup'
+    GROUP BY s.event_id, s.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # ES result envelope (elastic_search.go:35-64: Result{Took, Hits{Total,
 # MaxScore, Hits}}) — the metadata half of the reference's search response
 # ---------------------------------------------------------------------------
