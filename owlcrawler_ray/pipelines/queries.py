@@ -2989,6 +2989,131 @@ ORACLES["partitioned_join"] = """
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering: connected components by BSP label propagation
+# ---------------------------------------------------------------------------
+
+def q_near_dup_components(sf_dir: str):
+    """Connected components over the MinHash-LSH candidate graph — the
+    near-dup CLUSTERING step of a dedup pipeline (component id = min
+    doc_id of the cluster -> the canonical keeper).
+
+    The iterative-algorithm shape on Ray Data (briefing: "iterative
+    algorithms" are a legitimate non-SQL class — this one IS still
+    SQL-oracled via a recursive CTE): BSP min-label propagation, one
+    superstep =
+
+        edges ⋈ labels (hash join on src)  ->  (dst, src_label) proposals
+        ∪ current labels                   ->  groupby(node).min(label)
+
+    exchanged data O(E) per superstep, labels materialized each round
+    (O(V) — candidate nodes only, NOT the corpus) to truncate lineage.
+    The driver sees one scalar per superstep: sum(labels), which is
+    monotone non-increasing under min-propagation, so an unchanged sum is
+    the fixpoint.
+
+    Each superstep ends with POINTER JUMPING (label <- label(label), one
+    label-table self-join): plain propagation needs diameter supersteps
+    (measured: depth 9 on the sf0.001 candidate graph -> 10 Ray
+    executions), shortcutting converges in O(log diameter). Labels are
+    always existing node ids (mins over node ids), so the self-join is
+    total."""
+    pairs = q_minhash_lsh_pairs(sf_dir)
+    if pairs.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "component": pa.array([], pa.int64())}
+        )
+    edges_t = pa.concat_tables(
+        [
+            pa.table({"a": pairs.column("doc_a"), "b": pairs.column("doc_b")}),
+            pa.table({"a": pairs.column("doc_b"), "b": pairs.column("doc_a")}),
+        ]
+    )
+    nodes = np.unique(edges_t.column("a").to_numpy())
+    edges = rd.from_arrow(edges_t)
+    labels = rd.from_arrow(
+        pa.table({"node": pa.array(nodes), "label": pa.array(nodes)})
+    ).materialize()
+    prev_sum = int(nodes.sum())
+
+    def proposals(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": batch.column("b"), "label": batch.column("label")}
+        )
+
+    def as_parent(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": batch.column("node"), "parent": batch.column("label")}
+        )
+
+    def jumped(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": batch.column("node"), "label": batch.column("parent")}
+        )
+
+    while True:
+        prop = edges.join(
+            labels, join_type="inner", num_partitions=4,
+            on=("a",), right_on=("node",),
+        ).map_batches(proposals, batch_format="pyarrow")
+        stepped = (
+            prop.union(labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()  # consumed twice (join probe + parent side)
+        )
+        # pointer jump: label <- label(label) through a self-join
+        parents = stepped.map_batches(as_parent, batch_format="pyarrow")
+        labels = (
+            stepped.join(
+                parents, join_type="inner", num_partitions=4,
+                on=("label",), right_on=("src",),
+            )
+            .map_batches(jumped, batch_format="pyarrow")
+            .materialize()
+        )
+        cur_sum = int(labels.aggregate(Sum("label"))["sum(label)"])
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("node"), "component": batch.column("label")}
+        )
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+QUERIES["near_dup_components"] = q_near_dup_components
+# recursive-CTE oracle over the same candidate graph: reach = transitive
+# closure, component = min reachable node (RECURSIVE prefixes the shared
+# minhash CTE chain; DuckDB applies it only to the recursing CTE)
+ORACLES["near_dup_components"] = _MINHASH_CTES.replace(
+    "WITH base", "WITH RECURSIVE base", 1
+) + """
+    , cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand
+        UNION SELECT doc_b, doc_a FROM cand
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r
+    )
+    SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component
+    FROM reach GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
 # as-of join (custom operator — Ray Data has no native ASOF)
 # ---------------------------------------------------------------------------
 
