@@ -687,10 +687,14 @@ def _minhash_sig(text: str) -> list[str]:
     ]
     sig = []
     for p in (b"0|", b"1|"):
-        hexes = [hashlib.md5(p + s).hexdigest() for s in shingles]
-        for k in range(4):
-            lo = 8 * k
-            sig.append(min(h[lo : lo + 8] for h in hexes))
+        # raw digests -> (n_shingles, 4) big-endian uint32 matrix: each
+        # column is one 8-hex sub-hash, and lexicographic min over
+        # fixed-width hex == numeric min over >u4 — so the min is one
+        # vectorized reduction instead of n_shingles Python string
+        # comparisons per sub-hash (and no hexdigest() string alloc)
+        buf = b"".join(hashlib.md5(p + s).digest() for s in shingles)
+        mins = np.frombuffer(buf, dtype=">u4").reshape(-1, 4).min(axis=0)
+        sig.extend(format(int(x), "08x") for x in mins)
     return sig
 
 
