@@ -2422,7 +2422,12 @@ def q_quantiles_price(sf_dir: str):
     never the values — the same mergeable-sketch family as HLL/CMS, which
     is how a 100-TB engine answers quantiles without a global sort).
     Estimates are pytest-gated within 2% of DuckDB's exact
-    quantile_cont."""
+    quantile_cont AND SQL-oracled bit-exactly: the whole estimator
+    (floor-log bucket, cumulative pick, midpoint exp, 6-digit round) is
+    replicated in the oracle — deterministic, so the approximation itself
+    is checkable. The ulp difference between np.log1p(0.01) and SQL
+    ln(1.01) is absorbed by the bucket margins (min observed boundary
+    distance 2.9e-7 across sf tiers vs ~1e-12 float error)."""
     eps = 0.01
     qs = [0.25, 0.5, 0.75, 0.95]
     log_base = np.log1p(eps)
@@ -2456,11 +2461,29 @@ def q_quantiles_price(sf_dir: str):
         out_v.append(float(np.exp((b + 0.5) * log_base)))
     return pa.table(
         {"q": pa.array(out_q, pa.float64()),
-         "value_est": pa.array(out_v, pa.float64())}
+         "value_est": pa.array(
+             _round_half_away(np.array(out_v), 6), pa.float64())}
     )
 
 
 QUERIES["quantiles_price"] = q_quantiles_price
+ORACLES["quantiles_price"] = """
+    WITH b AS (
+        SELECT CAST(floor(ln(greatest(l_extendedprice, 1e-300)) / ln(1.01))
+                    AS BIGINT) AS bucket,
+               count(*) AS n
+        FROM lineitem GROUP BY 1
+    ),
+    c AS (
+        SELECT bucket, sum(n) OVER (ORDER BY bucket) AS cum,
+               sum(n) OVER () AS total
+        FROM b
+    ),
+    qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q)
+    SELECT q, round(exp((min(c.bucket) + 0.5) * ln(1.01)), 6) AS value_est
+    FROM qs JOIN c ON c.cum >= q * c.total
+    GROUP BY q
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -3347,6 +3370,98 @@ def search_es_result(sf_dir: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# exact SQL oracles for the md5-based sketch signatures (round 3): both
+# simhash64 and the Rabin-Karp fingerprint are pure deterministic functions
+# of md5, so the approximation pipelines themselves are bit-checkable
+# ---------------------------------------------------------------------------
+
+# little-endian uint64 of the first 8 md5 bytes, as DuckDB hex surgery
+_MD5_LE64 = (
+    "('0x' || substr(md, 15, 2) || substr(md, 13, 2) || substr(md, 11, 2)"
+    " || substr(md, 9, 2) || substr(md, 7, 2) || substr(md, 5, 2)"
+    " || substr(md, 3, 2) || substr(md, 1, 2))::UBIGINT"
+)
+
+ORACLES["simhash_dedup"] = f"""
+    WITH w AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (
+        SELECT doc_id, word, count(*) AS c FROM w
+        WHERE word <> '' GROUP BY doc_id, word
+    ),
+    h AS (
+        SELECT doc_id, c, {_MD5_LE64} AS hv
+        FROM (SELECT doc_id, c, md5(word) AS md FROM wc)
+    ),
+    votes AS (
+        SELECT doc_id, i,
+               sum(CASE WHEN (hv >> CAST(i AS UBIGINT)) & 1 = 1
+                        THEN c ELSE -c END) AS v
+        FROM h, (SELECT unnest(generate_series(0, 63)) AS i)
+        GROUP BY doc_id, i
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0
+                        THEN CAST(1 AS HUGEINT) << CAST(i AS HUGEINT)
+                        ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS u
+        FROM votes GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+                     THEN u - CAST('18446744073709551616' AS HUGEINT)
+                     ELSE u END AS BIGINT) AS simhash,
+           CAST(u & 65535 AS BIGINT) AS band0,
+           CAST((u >> 16) & 65535 AS BIGINT) AS band1,
+           CAST((u >> 32) & 65535 AS BIGINT) AS band2,
+           CAST((u >> 48) & 65535 AS BIGINT) AS band3
+    FROM sig
+"""
+
+_FP_POWS = ", ".join(f"({k}, {pow(1000003, k, (1 << 61) - 1)})" for k in range(8))
+
+ORACLES["doc_fingerprints"] = f"""
+    WITH raw AS (
+        SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    wpos AS (
+        SELECT doc_id, unnest(ws) AS word,
+               unnest(generate_series(1, len(ws))) AS ord
+        FROM raw
+    ),
+    hh AS (
+        SELECT doc_id, ord,
+               CAST({_MD5_LE64} % 2305843009213693951 AS HUGEINT) AS h
+        FROM (SELECT doc_id, ord, md5(word) AS md FROM wpos)
+    ),
+    wn AS (
+        SELECT doc_id, max(ord) AS nw, least(8, max(ord)) AS w
+        FROM hh GROUP BY doc_id
+    ),
+    poss AS (
+        SELECT doc_id, w, unnest(generate_series(1, nw - w + 1)) AS pos
+        FROM wn
+    ),
+    pw(k, p) AS (VALUES {_FP_POWS}),
+    fps AS (
+        SELECT t.doc_id, t.pos,
+               CAST(sum(t.term) % 2305843009213693951 AS BIGINT) AS fp
+        FROM (
+            SELECT s.doc_id, s.pos, h.h * pw.p AS term
+            FROM poss s
+            JOIN hh h ON h.doc_id = s.doc_id
+                     AND h.ord BETWEEN s.pos AND s.pos + s.w - 1
+            JOIN pw ON pw.k = s.w - 1 - (h.ord - s.pos)
+        ) t
+        GROUP BY t.doc_id, t.pos
+    )
+    SELECT doc_id, min(fp) AS fingerprint FROM fps GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver scoreboard ordering
 # ---------------------------------------------------------------------------
 
@@ -3358,13 +3473,17 @@ def search_es_result(sf_dir: str) -> dict:
 # surfaces and recall-gated ops ahead of variants whose oracled sibling
 # already proves the same machinery).
 _ROWS_ONLY_PRIORITY = [
+    # live-crawl surfaces first (the core capability), then the r2-dropped
+    # multimodal/sampling ops the verdict asked to restore, then ops whose
+    # machinery already has an oracled or recall-gated sibling (their
+    # scoreboard row is the least marginal evidence if the walk truncates)
     "crawl_pages", "crawl_images", "crawl_sites", "crawl_stats",
     "crawl_word_index", "crawl_corpus_export",
-    "images_decode_stats", "images_phash_pairs", "search_highlights",
-    "ann_ivf", "ann_ivf_centroids", "simhash_dedup", "doc_fingerprints",
-    "lang_id", "hll_distinct_orders", "quantiles_price",
-    "cms_frequent_words", "images_thumbnails", "video_frame_sample",
-    "audio_features", "sample_fraction",
+    "images_decode_stats", "images_phash_pairs",
+    "images_thumbnails", "video_frame_sample", "audio_features",
+    "sample_fraction", "search_highlights",
+    "ann_ivf", "ann_ivf_centroids", "lang_id",
+    "hll_distinct_orders", "cms_frequent_words",
 ]
 
 
