@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "label_centroids",
     "events_asof_join",
     "events_range_join",
+    "stratified_sample",
+    "importance_sample",
 ]
 
 

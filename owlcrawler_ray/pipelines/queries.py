@@ -3370,17 +3370,117 @@ def search_es_result(sf_dir: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# exact SQL oracles for the md5-based sketch signatures (round 3): both
-# simhash64 and the Rabin-Karp fingerprint are pure deterministic functions
-# of md5, so the approximation pipelines themselves are bit-checkable
+# stratified (per-group quota) sampling — balanced training-data selection
 # ---------------------------------------------------------------------------
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: k=50 docs PER LANGUAGE, ranked by
+    md5(doc_id) (engine-independent, reproducible — the balanced-corpus
+    selection step of a training pipeline, where uniform sampling would
+    mirror the corpus skew instead of correcting it).
+
+    Scale shape = q_top_events_per_user's: per-BATCH top-k per stratum
+    first (bounded, vectorized run-boundary ranking), so the per-stratum
+    merge exchanges <= k rows per (batch, stratum) — never the corpus.
+    Hash-rank selection keeps the sample stable under any partitioning or
+    resume (same property as q_deterministic_sample)."""
+    k = 50
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rk = pa.array(
+            [hashlib.md5(str(d).encode()).hexdigest()
+             for d in batch.column("doc_id").to_pylist()]
+        )
+        t = batch.append_column("rk", rk)
+        idx = pc.sort_indices(
+            t, sort_keys=[("lang", "ascending"), ("rk", "ascending"),
+                          ("doc_id", "ascending")],
+        )
+        t = t.take(idx)
+        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        starts = np.r_[0, np.flatnonzero(langs[1:] != langs[:-1]) + 1]
+        rank = np.arange(len(langs)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(langs)])
+        )
+        return t.filter(pa.array(rank < k))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rk", "doc_id"], kind="mergesort").head(k)
+        return g[["lang", "doc_id"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(merge)
+    )
+
+
 # little-endian uint64 of the first 8 md5 bytes, as DuckDB hex surgery
+# (shared by the importance-sample, simhash and fingerprint oracles)
 _MD5_LE64 = (
     "('0x' || substr(md, 15, 2) || substr(md, 13, 2) || substr(md, 11, 2)"
     " || substr(md, 9, 2) || substr(md, 7, 2) || substr(md, 5, 2)"
     " || substr(md, 3, 2) || substr(md, 1, 2))::UBIGINT"
 )
+
+
+def q_importance_sample(sf_dir: str):
+    """Deterministic WEIGHTED sampling: keep a doc with probability
+    min(1, n_chars/2000) — longer docs oversampled (importance sampling
+    for quality-weighted corpus selection). The accept test is pure
+    integer math on a 64-bit md5 rank (u64 < n_chars * floor(2^64/2000)),
+    so it is bit-reproducible across engines, partitionings and resumes —
+    no float thresholds, no RNG state. Stateless map_batches, no
+    shuffle."""
+    scale = (1 << 64) // 2000
+    lim = (1 << 64) - 1
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def accept(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        u = np.array(
+            [int.from_bytes(hashlib.md5(str(d).encode()).digest()[:8],
+                            "little") for d in ids],
+            dtype=np.uint64,
+        )
+        n = batch.column("n_chars").to_numpy().astype(object)
+        cut = np.array([min(int(x) * scale, lim) for x in n], dtype=np.uint64)
+        return batch.filter(pa.array(u < cut))
+
+    return ds.map_batches(accept, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["importance_sample"] = q_importance_sample
+ORACLES["importance_sample"] = f"""
+    SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars, {_MD5_LE64.replace("md,", "md5(CAST(doc_id AS VARCHAR)),")} AS u
+        FROM documents
+    )
+    WHERE CAST(u AS HUGEINT)
+          < least(CAST(n_chars AS HUGEINT) * {(1 << 64) // 2000},
+                  CAST('{(1 << 64) - 1}' AS HUGEINT))
+"""
+
+
+QUERIES["stratified_sample"] = q_stratified_sample
+ORACLES["stratified_sample"] = """
+    SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact SQL oracles for the md5-based sketch signatures (round 3): both
+# simhash64 and the Rabin-Karp fingerprint are pure deterministic functions
+# of md5, so the approximation pipelines themselves are bit-checkable
+# ---------------------------------------------------------------------------
 
 ORACLES["simhash_dedup"] = f"""
     WITH w AS (
