@@ -3519,6 +3519,70 @@ ORACLES["simhash_dedup"] = f"""
     FROM sig
 """
 
+def _marker_list(lang: str) -> str:
+    from ..functions.textops import _LANG_MARKERS
+
+    return ", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lang]))
+
+
+# the FULL predict_lang heuristic in SQL: substr windows (400 chars for
+# the CJK ratio, 2000 for words), RE2 \w+ extraction (== Python \w on this
+# ASCII corpus), first 500 lowered words, per-language stopword ratio with
+# the dict-order tie rule (an earlier language needs >=, a later one needs
+# strictly >), 0.05 threshold. Exact-match verified per doc at both sfs.
+ORACLES["lang_id"] = f"""
+    WITH t AS (
+        SELECT doc_id, lang, substr(text, 1, 2000) AS t2k,
+               substr(text, 1, 400) AS t400
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id,
+               list_transform(regexp_extract_all(t2k, '\\w+'),
+                              x -> lower(x))[1:500] AS ws
+        FROM t
+    ),
+    s AS (
+        SELECT w.doc_id, len(ws) AS nw,
+               CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                 len(list_filter(ws, x -> x IN ({_marker_list('en')})))
+                   / CAST(len(ws) AS DOUBLE) END AS s_en,
+               CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                 len(list_filter(ws, x -> x IN ({_marker_list('es')})))
+                   / CAST(len(ws) AS DOUBLE) END AS s_es,
+               CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                 len(list_filter(ws, x -> x IN ({_marker_list('de')})))
+                   / CAST(len(ws) AS DOUBLE) END AS s_de,
+               CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                 len(list_filter(ws, x -> x IN ({_marker_list('fr')})))
+                   / CAST(len(ws) AS DOUBLE) END AS s_fr
+        FROM w
+    ),
+    c AS (
+        SELECT doc_id,
+               CASE WHEN length(t400) = 0 THEN 0.0 ELSE
+                 (length(t400)
+                  - length(regexp_replace(t400, '[\\u4e00-\\u9fff]', '', 'g')))
+                   / CAST(length(t400) AS DOUBLE) END AS cjk
+        FROM t
+    )
+    SELECT t.doc_id, t.lang,
+           CASE
+             WHEN c.cjk > 0.1 THEN 'zh'
+             WHEN s.nw = 0 THEN 'unknown'
+             WHEN s_en >= 0.05 AND s_en >= s_es AND s_en >= s_de
+                  AND s_en >= s_fr THEN 'en'
+             WHEN s_es >= 0.05 AND s_es > s_en AND s_es >= s_de
+                  AND s_es >= s_fr THEN 'es'
+             WHEN s_de >= 0.05 AND s_de > s_en AND s_de > s_es
+                  AND s_de >= s_fr THEN 'de'
+             WHEN s_fr >= 0.05 AND s_fr > s_en AND s_fr > s_es
+                  AND s_fr > s_de THEN 'fr'
+             ELSE 'unknown'
+           END AS pred_lang
+    FROM t JOIN s ON s.doc_id = t.doc_id JOIN c ON c.doc_id = t.doc_id
+"""
+
 _FP_POWS = ", ".join(f"({k}, {pow(1000003, k, (1 << 61) - 1)})" for k in range(8))
 
 ORACLES["doc_fingerprints"] = f"""
