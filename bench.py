@@ -96,6 +96,10 @@ def run_once() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # worker stdout/stderr stay in the per-worker log files: a stray
+        # worker print forwarded to the driver would pollute the ONE-JSON-
+        # line stdout contract (observed once from a shuffle reduce task)
+        log_to_driver=False,
     )
     DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
@@ -210,6 +214,7 @@ def run_default() -> dict:
     ray.init(
         address="local", num_cpus=NCPU, include_dashboard=False,
         ignore_reinit_error=True, logging_level="ERROR",
+        log_to_driver=False,
     )
     DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
@@ -293,7 +298,8 @@ def run_megaround() -> dict:
     from ray.data import DataContext
 
     ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
     DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 

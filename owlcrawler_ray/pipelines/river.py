@@ -125,13 +125,27 @@ class IndexRiver:
 
     def index_table(self) -> pa.Table:
         """The merged index: LSM-style compaction of the round deltas —
-        one small groupby over (word, doc_id) partials."""
+        one small groupby over (word, doc_id) partials. Driver-side Arrow
+        merge: the small/test surface. At 10^10 pages the merged index is
+        itself huge — use index_dataset() there."""
         deltas = table_store.read_all_arrow(self.out_root, "windex")
         if deltas.num_rows == 0:
             return deltas
         return (
             deltas.group_by(["word", "doc_id"]).aggregate([("n", "sum")])
             .rename_columns(["word", "doc_id", "n"])
+        )
+
+    def index_dataset(self):
+        """The scale path for the merged index: the same LSM compaction as
+        a LAZY Ray Dataset (streaming read of the delta rounds -> one
+        hash-partitioned groupby), so the merged postings never land on
+        the driver. Equality with index_table() is pytest-gated."""
+        from ray.data.aggregate import Sum
+
+        deltas = table_store.read_all(self.out_root, "windex")
+        return deltas.groupby(["word", "doc_id"]).aggregate(
+            Sum("n", alias_name="n")
         )
 
     def search(self, term: str, k: int = 10) -> pa.Table:

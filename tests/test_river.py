@@ -109,3 +109,29 @@ def test_river_survives_stale_round_prune(ray_session, tmp_path):
         assert got.equals(want)
     finally:
         c2.shutdown()
+
+
+def test_river_index_dataset_equals_table(ray_session, tmp_path):
+    """The streaming (Dataset) index merge — the 10^10-page path where the
+    merged postings never land on the driver — equals the driver-side
+    Arrow merge."""
+    base = str(tmp_path / "riverds")
+    c, _ = run_crawl(_cfg(base))
+    try:
+        river = IndexRiver(f"{base}/out")
+        river.poll()
+        want = river.index_table().sort_by(
+            [("word", "ascending"), ("doc_id", "ascending")]
+        )
+        got = (
+            river.index_dataset()
+            .to_pandas()
+            .sort_values(["word", "doc_id"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == want.num_rows
+        assert list(got["word"]) == want.column("word").to_pylist()
+        assert list(got["doc_id"]) == want.column("doc_id").to_pylist()
+        assert list(got["n"]) == want.column("n").to_pylist()
+    finally:
+        c.shutdown()
