@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "events_range_join",
     "stratified_sample",
     "importance_sample",
+    "lang_length_quantiles",
+    "normalize_text",
 ]
 
 

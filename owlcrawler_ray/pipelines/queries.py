@@ -3416,6 +3416,83 @@ def q_stratified_sample(sf_dir: str):
     )
 
 
+def q_lang_length_quantiles(sf_dir: str):
+    """EXACT grouped discrete quantiles: p25/p50/p75/p90 of n_chars per
+    language — the per-stratum length profile a corpus-balancing pipeline
+    reads before choosing truncation/packing lengths. Element selection
+    uses the integer rule index = ceil(q*n)-1 on the ascending sort
+    (verified == DuckDB quantile_disc for n up to 1000), so the result is
+    engine-exact — no interpolation floats.
+
+    Scale note: this is the exact per-group path (group = one language's
+    doc lengths, which fits a worker for any real language distribution);
+    the UNGROUPED 100-TB path with no group bound is the mergeable
+    log-bucket sketch, q_quantiles_price."""
+    qs = [(1, 4, 0.25), (1, 2, 0.5), (3, 4, 0.75), (9, 10, 0.9)]
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def qd(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["n_chars"].to_numpy())
+        n = len(v)
+        return pd.DataFrame(
+            [
+                (g["lang"].iloc[0], q, int(v[(num * n + den - 1) // den - 1]))
+                for num, den, q in qs
+            ],
+            columns=["lang", "q", "value"],
+        )
+
+    return ds.groupby("lang").map_groups(qd)
+
+
+QUERIES["lang_length_quantiles"] = q_lang_length_quantiles
+ORACLES["lang_length_quantiles"] = """
+    SELECT lang,
+           unnest([0.25, 0.5, 0.75, 0.9]) AS q,
+           unnest(qd) AS value
+    FROM (
+        SELECT lang, quantile_disc(n_chars, [0.25, 0.5, 0.75, 0.9]) AS qd
+        FROM documents GROUP BY lang
+    )
+"""
+
+
+def q_normalize_text(sf_dir: str):
+    """Text normalization stage (the first hop of every training-data
+    pipeline): lowercase, collapse runs of whitespace to single spaces,
+    trim. Pure vectorized Arrow kernels (utf8_lower +
+    replace_substring_regex + utf8_trim_whitespace — RE2, the same engine
+    as the SQL oracle's regexp_replace), stateless map_batches, no
+    shuffle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(batch.column("text")), r"\s+", " "
+            )
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "norm_text": t,
+                "n_chars_norm": pc.cast(pc.utf8_length(t), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["normalize_text"] = q_normalize_text
+ORACLES["normalize_text"] = r"""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+           length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS n_chars_norm
+    FROM documents
+"""
+
+
 # little-endian uint64 of the first 8 md5 bytes, as DuckDB hex surgery
 # (shared by the importance-sample, simhash and fingerprint oracles)
 _MD5_LE64 = (
