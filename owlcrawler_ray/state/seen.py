@@ -397,7 +397,13 @@ class SeenShard:
         return self._tombstones
 
     def size(self) -> int:
-        n = len(self.urls) + len(self.overflow - self.urls)
+        # invariants that make this exact: runs are pairwise disjoint and
+        # disjoint from the hot set (a spilled url is never re-added while
+        # a run holds it); tombstones only ever shadow run rows; and every
+        # overflow member is ALSO in urls (pre-spill) or a run (post-spill
+        # / revive), so counting overflow separately double-counted
+        # spilled overflow-backed urls (found by the model-based test).
+        n = len(self.urls)
         for hashes, _ in self._runs:
             n += len(hashes)
         return n - len(self.tombstones)

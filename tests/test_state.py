@@ -271,3 +271,68 @@ def test_bloom_sparse_partials_assemble_exactly():
         assembled.bits[s * (span // 64):(s + 1) * (span // 64)] = words
     assert np.array_equal(assembled.bits, direct.bits)
     assert assembled.contains_many(batch).all()
+
+
+def test_seen_shard_model_based_property():
+    """Model-based check (hypothesis): any interleaving of add / remove /
+    test_and_set against an undersized, spill-enabled shard must agree
+    with a plain set model on EVERY URL — no false positives, and (the
+    invariant the saturation/revive fixes protect) no false negatives."""
+    import shutil
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    universe = [f"http://h{i % 5}.test/p{i}" for i in range(48)]
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        ops=st.lists(
+            st.tuples(
+                st.sampled_from(["add", "remove", "tas"]),
+                st.lists(st.integers(0, 47), min_size=1, max_size=8),
+            ),
+            max_size=40,
+        )
+    )
+    def run(ops):
+        d = tempfile.mkdtemp(prefix="seen_model_")
+        try:
+            s = SeenShard(0, capacity=8, spill_dir=d, max_mem_urls=12)
+            model: set[str] = set()
+            for kind, idxs in ops:
+                urls = [universe[i] for i in idxs]
+                if kind == "add":
+                    s.add_many(urls)
+                    model.update(urls)
+                elif kind == "remove":
+                    s.remove_many(urls)
+                    model.difference_update(urls)
+                else:
+                    got = s.test_and_set_many(urls)
+                    want = []
+                    for u in urls:
+                        want.append(u not in model)
+                        model.add(u)
+                    assert list(got) == want
+                mask = s.contains_many(universe)
+                assert [bool(m) for m in mask] == [
+                    u in model for u in universe
+                ]
+                assert s.size() == len(model)
+            # snapshot -> restore round-trips the exact logical set
+            d2 = tempfile.mkdtemp(prefix="seen_model_r_")
+            try:
+                s2 = SeenShard(0, capacity=8, spill_dir=d2, max_mem_urls=12)
+                s2.restore(s.snapshot())
+                mask = s2.contains_many(universe)
+                assert [bool(m) for m in mask] == [
+                    u in model for u in universe
+                ]
+            finally:
+                shutil.rmtree(d2, ignore_errors=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    run()
