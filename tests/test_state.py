@@ -336,3 +336,65 @@ def test_seen_shard_model_based_property():
             shutil.rmtree(d, ignore_errors=True)
 
     run()
+
+
+def test_frontier_model_based_property():
+    """Model-based check: any interleaving of push / remove(live seqs) /
+    peek must agree with a sorted-dict model on ordering ((priority, seq)
+    total order), sizes, and snapshot/restore round-trips. Removal follows
+    the pipeline contract: only currently-live seqs, each removed once
+    (admission removes seqs it just peeked)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        steps=st.lists(
+            st.tuples(
+                st.sampled_from(["push", "remove", "peek"]),
+                st.lists(st.integers(0, 3), min_size=1, max_size=6),
+                st.integers(1, 10),
+            ),
+            max_size=30,
+        )
+    )
+    def run(steps):
+        f = FrontierShard(0)
+        model: dict[int, tuple] = {}
+        next_seq = 0
+        for kind, prios, k in steps:
+            if kind == "push":
+                entries = []
+                for p in prios:
+                    e = (float(p), next_seq, f"http://h{p}.test/p{next_seq}",
+                         f"h{p}.test", 1)
+                    entries.append(e)
+                    model[next_seq] = e
+                    next_seq += 1
+                f.push_table(entries_table(
+                    [e[2] for e in entries], [e[3] for e in entries],
+                    [e[4] for e in entries], [e[0] for e in entries],
+                    [e[1] for e in entries],
+                ))
+            elif kind == "remove" and model:
+                live = sorted(model)
+                victims = [live[i % len(live)] for i in prios]
+                victims = list(dict.fromkeys(victims))
+                f.remove_seqs(victims)
+                for s in victims:
+                    del model[s]
+            else:
+                want = sorted(model.values())[:k]
+                got = f.peek(k)
+                assert got.column("discovered_seq").to_pylist() == [
+                    e[1] for e in want
+                ]
+                assert got.column("url").to_pylist() == [e[2] for e in want]
+            assert f.size() == len(model)
+        f2 = FrontierShard(1)
+        f2.restore(f.snapshot())
+        assert f2.size() == len(model)
+        assert f2.peek(len(model) + 1).column("discovered_seq").to_pylist() \
+            == [e[1] for e in sorted(model.values())]
+
+    run()
