@@ -8,7 +8,7 @@ queries(): one callable per implemented operator/pipeline (SURVEY.md §2 +
 the training-data graft ops); each takes sf_dir.
 
 oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query (47 of
-64); the rest (crawl loop + its sites/stats views, LSH-ANN, highlight
+65); the rest (crawl loop + its sites/stats views, LSH-ANN, highlight
 fragments, phash/simhash/fingerprint, multimodal decode) are rows-only
 checks backed by pytest parity/recall/golden tests instead. The registry
 enumerates the oracled queries FIRST (the driver scoreboard records a

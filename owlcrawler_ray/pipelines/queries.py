@@ -3050,11 +3050,25 @@ def q_near_dup_components(sf_dir: str):
             {"doc_id": pa.array([], pa.int64()),
              "component": pa.array([], pa.int64())}
         )
+    labels = _propagate_components(
+        pairs.column("doc_a").to_numpy(), pairs.column("doc_b").to_numpy()
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("node"), "component": batch.column("label")}
+        )
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def _propagate_components(a: np.ndarray, b: np.ndarray):
+    """The shared BSP min-label + pointer-jumping loop over int64 edge
+    endpoints (see q_near_dup_components for the algorithm notes).
+    Returns a materialized Dataset of (node, label)."""
     edges_t = pa.concat_tables(
-        [
-            pa.table({"a": pairs.column("doc_a"), "b": pairs.column("doc_b")}),
-            pa.table({"a": pairs.column("doc_b"), "b": pairs.column("doc_a")}),
-        ]
+        [pa.table({"a": pa.array(a), "b": pa.array(b)}),
+         pa.table({"a": pa.array(b), "b": pa.array(a)})]
     )
     nodes = np.unique(edges_t.column("a").to_numpy())
     edges = rd.from_arrow(edges_t)
@@ -3103,13 +3117,53 @@ def q_near_dup_components(sf_dir: str):
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    return labels
+
+
+def q_image_dup_clusters(sf_dir: str):
+    """The IMAGE-side dedup clustering (the input_hint payload axis):
+    connected components over the phash near-dup candidate graph, each
+    cluster keyed by its lexicographically-smallest image_id — the
+    keep-one-per-cluster step of image-corpus dedup. String image ids are
+    densified to int64 on the driver (O(candidate nodes) — same bound as
+    the pair table itself) and propagated with the shared distributed BSP
+    loop. Rows-only: the images table is generated, not a SQL view;
+    cluster transitivity vs a union-find model is pytest-gated."""
+    pairs = q_images_phash_pairs(sf_dir)
+    if pairs.num_rows == 0:
+        return pa.table(
+            {"image_id": pa.array([], pa.string()),
+             "cluster": pa.array([], pa.string())}
+        )
+    ia = pairs.column("img_a").to_pylist()
+    ib = pairs.column("img_b").to_pylist()
+    node_ids = sorted(set(ia) | set(ib))
+    dense = {v: i for i, v in enumerate(node_ids)}
+    labels = _propagate_components(
+        np.array([dense[v] for v in ia], dtype=np.int64),
+        np.array([dense[v] for v in ib], dtype=np.int64),
+    )
+    back = ray.put(node_ids)  # sorted -> min dense index == min image_id
 
     def rename(batch: pa.Table) -> pa.Table:
+        ids = ray.get(back)
         return pa.table(
-            {"doc_id": batch.column("node"), "component": batch.column("label")}
+            {
+                "image_id": pa.array(
+                    [ids[i] for i in batch.column("node").to_pylist()],
+                    pa.string(),
+                ),
+                "cluster": pa.array(
+                    [ids[i] for i in batch.column("label").to_pylist()],
+                    pa.string(),
+                ),
+            }
         )
 
     return labels.map_batches(rename, batch_format="pyarrow")
+
+
+QUERIES["image_dup_clusters"] = q_image_dup_clusters
 
 
 QUERIES["near_dup_components"] = q_near_dup_components
@@ -3720,7 +3774,7 @@ _ROWS_ONLY_PRIORITY = [
     # scoreboard row is the least marginal evidence if the walk truncates)
     "crawl_pages", "crawl_images", "crawl_sites", "crawl_stats",
     "crawl_word_index", "crawl_corpus_export",
-    "images_decode_stats", "images_phash_pairs",
+    "images_decode_stats", "images_phash_pairs", "image_dup_clusters",
     "images_thumbnails", "video_frame_sample", "audio_features",
     "sample_fraction", "search_highlights",
     "ann_ivf", "ann_ivf_centroids", "lang_id",

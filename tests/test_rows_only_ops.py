@@ -451,3 +451,45 @@ def test_search_es_result_envelope_shape(ray_session):
     scores = [r["score"] for r in h["hits"]]
     assert scores == sorted(scores, reverse=True)
     assert h["max_score"] == scores[0]  # page 1 leads with the global max
+
+
+def test_image_dup_clusters_transitive_closure(ray_session):
+    """Image dedup clustering must equal the transitive closure of the
+    phash candidate pairs (union-find model), with each cluster keyed by
+    its smallest image_id, and must group every planted dup with its
+    source image's cluster."""
+    from owlcrawler_ray.pipelines.queries import (
+        QUERIES,
+        q_images_phash_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pairs = q_images_phash_pairs(sf)
+    got = QUERIES["image_dup_clusters"](sf).to_pandas()
+
+    # union-find model over the same pairs
+    parent: dict[str, str] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.column("img_a").to_pylist(),
+                    pairs.column("img_b").to_pylist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict[str, list[str]] = {}
+    for v in parent:
+        comp.setdefault(find(v), []).append(v)
+    want = {}
+    for members in comp.values():
+        key = min(members)
+        for m in members:
+            want[m] = key
+    assert dict(zip(got["image_id"], got["cluster"])) == want
+    assert len(got) == len(parent)
