@@ -3774,10 +3774,10 @@ _ROWS_ONLY_PRIORITY = [
     # scoreboard row is the least marginal evidence if the walk truncates)
     "crawl_pages", "crawl_images", "crawl_sites", "crawl_stats",
     "crawl_word_index", "crawl_corpus_export",
-    "images_decode_stats", "images_phash_pairs", "image_dup_clusters",
+    "images_decode_stats", "images_phash_pairs",
     "images_thumbnails", "video_frame_sample", "audio_features",
-    "sample_fraction", "search_highlights",
-    "ann_ivf", "ann_ivf_centroids", "lang_id",
+    "sample_fraction", "image_dup_clusters", "search_highlights",
+    "ann_ivf", "ann_ivf_centroids",
     "hll_distinct_orders", "cms_frequent_words",
 ]
 
