@@ -398,3 +398,33 @@ def test_frontier_model_based_property():
             == [e[1] for e in sorted(model.values())]
 
     run()
+
+
+def test_politeness_token_bucket_property():
+    """Property check: over any admit sequence, a host can never be
+    granted more than burst + rate * elapsed tokens in total (the token
+    bucket's defining invariant), and grants are never negative."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        reqs=st.lists(
+            st.tuples(st.integers(0, 20), st.floats(0.0, 5.0)),
+            min_size=1, max_size=25,
+        )
+    )
+    def run(reqs):
+        cfg = PolitenessConfig(mode="polite", rate_per_s=2.0, burst=5.0)
+        g = PolitenessGate(cfg)
+        t = 0.0
+        granted = 0
+        for want, dt in reqs:
+            t += dt
+            got = g.admit_budget("h.test", want, now_s=t)
+            assert 0 <= got <= want
+            granted += got
+            # total grants can never exceed burst + rate * elapsed
+            assert granted <= cfg.burst + cfg.rate_per_s * t + 1e-6
+
+    run()
