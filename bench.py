@@ -85,11 +85,14 @@ BENCH_QUERIES = [
 ]
 
 
-def run_once() -> dict:
+def _init_ray() -> None:
+    """One shared Ray session bootstrap for every bench mode. worker
+    stdout/stderr stay in the per-worker log files: a stray worker print
+    forwarded to the driver would pollute the ONE-JSON-line stdout
+    contract (observed once from a shuffle reduce task)."""
     import logging
 
     import ray
-    import ray.data as rd
     from ray.data import DataContext
 
     ray.init(
@@ -98,16 +101,42 @@ def run_once() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
-        # worker stdout/stderr stay in the per-worker log files: a stray
-        # worker print forwarded to the driver would pollute the ONE-JSON-
-        # line stdout contract (observed once from a shuffle reduce task)
         log_to_driver=False,
     )
     DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
-    from owlcrawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+def _time_queries() -> dict:
+    """One timed pass over the operator suite (page cache pre-warmed by
+    the caller)."""
+    import ray.data as rd
+
     from owlcrawler_ray.pipelines.queries import QUERIES
+
+    qtimes = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        res = QUERIES[name](SF_DIR)
+        if isinstance(res, rd.Dataset):
+            res.count()  # drives the full pipeline
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+    return qtimes
+
+
+def _warm_page_cache() -> None:
+    """Read the sf parquet once so query timings measure compute+shuffle,
+    not first disk read."""
+    for name in ("lineitem", "orders", "documents", "events", "embeddings"):
+        with open(f"{SF_DIR}/{name}.parquet", "rb") as f:
+            f.read()
+
+
+def run_once() -> dict:
+    import ray
+
+    _init_ray()
+    from owlcrawler_ray.pipelines.crawl import CrawlConfig, run_crawl
     from owlcrawler_ray.sources.corpus import WebConfig
 
     # ---- headline: the crawl ------------------------------------------
@@ -151,15 +180,10 @@ def run_once() -> dict:
         "image_rows_per_s": round(n_images / crawl_sec, 2),
     }
 
-    # ---- operator suite over the sf tables ----------------------------
-    # warm the page cache so we measure compute+shuffle, not first disk read
-    for name in ("lineitem", "orders", "documents", "events", "embeddings"):
-        with open(f"{SF_DIR}/{name}.parquet", "rb") as f:
-            f.read()
-    qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":
-        # scaling legs: only the crawl number feeds the efficiency ratio —
-        # skip the query suite so a 2-cpu leg isn't minutes of unused work
+        # scaling/headline legs: only the crawl number feeds the ratio —
+        # return before the page-cache warm so a crawl-only leg pays no
+        # needless sf-table I/O
         out = {
             "metric": "crawl fetch+decode wall-clock (synthetic web, parity "
                       "mode)",
@@ -169,12 +193,9 @@ def run_once() -> dict:
         }
         ray.shutdown()
         return out
-    for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        res = QUERIES[name](SF_DIR)
-        if isinstance(res, rd.Dataset):
-            res.count()  # drives the full pipeline
-        qtimes[name] = round(time.perf_counter() - t0, 3)
+    # ---- operator suite over the sf tables ----------------------------
+    _warm_page_cache()
+    qtimes = _time_queries()
 
     out = {
         "metric": "crawl fetch+decode wall-clock (synthetic web, parity mode) "
@@ -204,37 +225,14 @@ def run_default() -> dict:
     """Default bench: headline crawl = min of TWO fresh subprocess legs;
     query suite = per-query min of TWO in-process passes. Raw legs are
     kept in the JSON (crawl_legs / queries_runs)."""
-    import logging
-
     import ray
-    import ray.data as rd
-    from ray.data import DataContext
 
     legs = [_crawl_leg(NCPU), _crawl_leg(NCPU)]
     best = min(legs, key=lambda r: r["crawl"]["sec"])
 
-    ray.init(
-        address="local", num_cpus=NCPU, include_dashboard=False,
-        ignore_reinit_error=True, logging_level="ERROR",
-        log_to_driver=False,
-    )
-    DataContext.get_current().enable_progress_bars = False
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
-    from owlcrawler_ray.pipelines.queries import QUERIES
-
-    for name in ("lineitem", "orders", "documents", "events", "embeddings"):
-        with open(f"{SF_DIR}/{name}.parquet", "rb") as f:
-            f.read()
-    runs = []
-    for _ in range(2):
-        qtimes = {}
-        for name in BENCH_QUERIES:
-            t0 = time.perf_counter()
-            res = QUERIES[name](SF_DIR)
-            if isinstance(res, rd.Dataset):
-                res.count()
-            qtimes[name] = round(time.perf_counter() - t0, 3)
-        runs.append(qtimes)
+    _init_ray()
+    _warm_page_cache()
+    runs = [_time_queries() for _ in range(2)]
     ray.shutdown()
     qmin = {n: min(r[n] for r in runs) for n in BENCH_QUERIES}
 
@@ -294,17 +292,9 @@ def run_megaround() -> dict:
     (admission peek/merge, tick walk) take vs the distributed work. The
     claim under test: at 10^5-tick rounds the driver is nowhere near the
     ceiling (tick_walk < 10% of round time)."""
-    import logging
-
     import ray
-    from ray.data import DataContext
 
-    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR",
-             log_to_driver=False)
-    DataContext.get_current().enable_progress_bars = False
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
-
+    _init_ray()
     from owlcrawler_ray.pipelines.crawl import Crawler, CrawlConfig, warmup_workers
     from owlcrawler_ray.sources.corpus import WebConfig
 

@@ -70,7 +70,12 @@ def run_oracle(web: SyntheticWeb, max_ticks: int = 10**9,
         for t in sorted(k for k in pending if k <= tick):
             queue.extend(pending.pop(t))
         if not queue:
-            break
+            # frontier drained before an injection tick: deliver the next
+            # injection group NOW — the crawler analog is add_sites()
+            # after run() drained, then run() again, and the politeness
+            # clock does not jump forward while idle
+            queue.extend(pending.pop(min(pending)))
+            continue
         url = queue.popleft()
         if url in res.seen:
             continue  # F1 dequeue check: doc exists -> discard, no tick

@@ -1982,6 +1982,23 @@ _PHRASE_RE = re.compile(
 )
 
 
+def _es_score(texts: pa.ChunkedArray) -> pa.ChunkedArray:
+    """The ES relevance model as ONE vectorized expression — tf(term1) +
+    tf(term2) + 10 x slop-1 phrase matches (RE2, the engine the DuckDB
+    oracles use). Shared by q_search_es and q_search_es_envelope so the
+    hit page and its envelope metadata can never desynchronize."""
+    w1, w2 = SEARCH_PHRASE
+    return pc.cast(
+        pc.add(
+            pc.add(pc.count_substring(texts, w1),
+                   pc.count_substring(texts, w2)),
+            pc.multiply(pc.count_substring_regex(texts, _PHRASE_RE.pattern),
+                        10),
+        ),
+        pa.int64(),
+    )
+
+
 def q_search_es(sf_dir: str):
     """The reference's ES relevance model re-expressed deterministically
     (elastic_search.go:123-154): score = tf(term1) + tf(term2) + 10 x
@@ -1989,24 +2006,13 @@ def q_search_es(sf_dir: str):
     match_phrase with phrase_slop 1, boost 10.0). Top 10 by (score desc,
     doc_id). Single scan, local prune, tiny global sort — same scale
     shape as q_search."""
-    w1, w2 = SEARCH_PHRASE
     k = 10
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def score(batch: pa.Table) -> pa.Table:
-        # fully vectorized scoring: term frequencies via pc.count_substring
-        # and the slop-1 phrase count via pc.count_substring_regex (RE2 —
-        # the same engine the DuckDB oracle's regexp_extract_all uses)
-        texts = batch.column("text")
-        s = pc.add(
-            pc.add(pc.count_substring(texts, w1),
-                   pc.count_substring(texts, w2)),
-            pc.multiply(pc.count_substring_regex(texts, _PHRASE_RE.pattern),
-                        10),
-        )
+        s = _es_score(batch.column("text"))
         t = pa.table(
-            {"doc_id": batch.column("doc_id"),
-             "score": pc.cast(s, pa.int64())}
+            {"doc_id": batch.column("doc_id"), "score": s}
         ).filter(pc.greater(s, 0))
         if t.num_rows > k:
             idx = pc.select_k_unstable(
@@ -3353,18 +3359,11 @@ def q_search_es_envelope(sf_dir: str):
     per-batch (count, max) partials; the exchange is 2 ints per batch.
     ``Took`` is wall-clock runtime metadata, surfaced by
     search_es_result() below (pytest-gated — not SQL-expressible)."""
-    w1, w2 = SEARCH_PHRASE
     ds = _read(sf_dir, "documents", columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text")
-        s = pc.add(
-            pc.add(pc.count_substring(texts, w1),
-                   pc.count_substring(texts, w2)),
-            pc.multiply(pc.count_substring_regex(texts, _PHRASE_RE.pattern),
-                        10),
-        )
-        hits = pc.filter(pc.cast(s, pa.int64()), pc.greater(s, 0))
+        s = _es_score(batch.column("text"))
+        hits = pc.filter(s, pc.greater(s, 0))
         return pa.table(
             {"total_p": pa.array([len(hits)], pa.int64()),
              "max_p": pa.array(
@@ -3638,6 +3637,12 @@ ORACLES["simhash_dedup"] = f"""
                         THEN CAST(1 AS HUGEINT) << CAST(i AS HUGEINT)
                         ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS u
         FROM votes GROUP BY doc_id
+    ),
+    -- LEFT JOIN from documents: a doc whose text has no non-empty words
+    -- never reaches the unnest, but simhash64('') == 0 still emits a row
+    full_sig AS (
+        SELECT d.doc_id, coalesce(s.u, CAST(0 AS HUGEINT)) AS u
+        FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id
     )
     SELECT doc_id,
            CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
@@ -3647,7 +3652,7 @@ ORACLES["simhash_dedup"] = f"""
            CAST((u >> 16) & 65535 AS BIGINT) AS band1,
            CAST((u >> 32) & 65535 AS BIGINT) AS band2,
            CAST((u >> 48) & 65535 AS BIGINT) AS band3
-    FROM sig
+    FROM full_sig
 """
 
 def _marker_list(lang: str) -> str:
@@ -3691,9 +3696,13 @@ ORACLES["lang_id"] = f"""
     ),
     c AS (
         SELECT doc_id,
+               -- LITERAL CJK range: RE2 rejects '\\uXXXX' escapes and
+               -- DuckDB regexp_replace silently swallows the error
+               -- (returning the input unchanged), which would leave this
+               -- ratio permanently 0 and the zh branch dead
                CASE WHEN length(t400) = 0 THEN 0.0 ELSE
                  (length(t400)
-                  - length(regexp_replace(t400, '[\\u4e00-\\u9fff]', '', 'g')))
+                  - length(regexp_replace(t400, '[一-鿿]', '', 'g')))
                    / CAST(length(t400) AS DOUBLE) END AS cjk
         FROM t
     )
@@ -3751,8 +3760,11 @@ ORACLES["doc_fingerprints"] = f"""
             JOIN pw ON pw.k = s.w - 1 - (h.ord - s.pos)
         ) t
         GROUP BY t.doc_id, t.pos
-    )
-    SELECT doc_id, min(fp) AS fingerprint FROM fps GROUP BY doc_id
+    ),
+    mins AS (SELECT doc_id, min(fp) AS fingerprint FROM fps GROUP BY doc_id)
+    -- LEFT JOIN from documents: min_fingerprint('') == -1 still emits a row
+    SELECT d.doc_id, coalesce(m.fingerprint, -1) AS fingerprint
+    FROM documents d LEFT JOIN mins m ON m.doc_id = d.doc_id
 """
 
 
@@ -3763,8 +3775,9 @@ ORACLES["doc_fingerprints"] = f"""
 # The graft driver walks the registry IN ORDER and recorded only the first
 # 50 entries in round 2, silently dropping the tail — which happened to
 # include two ORACLED queries (ngram_jaccard_verify, partitioned_join).
-# Enumerate every oracled query first (35 — all guaranteed on the
-# scoreboard), then rows-only pipelines by evidential value (live-crawl
+# Enumerate EVERY oracled query first (len(ORACLES) entries — the count
+# is asserted, not hard-coded, in tests/test_entry_contract.py), then
+# rows-only pipelines by evidential value (live-crawl
 # surfaces and recall-gated ops ahead of variants whose oracled sibling
 # already proves the same machinery).
 _ROWS_ONLY_PRIORITY = [

@@ -339,3 +339,41 @@ def test_add_sites_mid_crawl_parity(ray_session, tmp_path):
         assert sites.column("submitted_seq").to_pylist() == [0, 1, 2, 3]
     finally:
         c.shutdown()
+
+
+def test_add_sites_after_frontier_drained_parity(ray_session, tmp_path):
+    """Seed injection AFTER the organic frontier fully drained (run()
+    returned on an empty frontier, not on max_ticks): the oracle delivers
+    pending injections without jumping the clock, matching add_sites +
+    a second run() — the r3 review's 'silently dropped injection' edge."""
+    base = str(tmp_path / "inject_drained")
+    new_sites = ["http://host-2.test/", "http://host-3.test/"]
+    cfg = CrawlConfig(
+        web=SMALL_WEB, budget_per_round=16,
+        out_dir=f"{base}/out", ckpt_dir=f"{base}/ckpt",
+        fetch_concurrency=2, image_concurrency=1,
+    )
+    c, s1 = run_crawl(cfg)
+    try:
+        assert s1["frontier_left"] == 0  # organically drained
+        drained_tick = c.tick
+        assert c.add_sites(new_sites) == 2
+        c.run()
+        # oracle with an injection tick far beyond the drain point: the
+        # pending group must still be crawled (clock continues from the
+        # drain tick, no jump)
+        want = run_oracle(
+            SyntheticWeb(SMALL_WEB), inject={drained_tick + 999: new_sites}
+        )
+        got_attempts = [
+            (a["tick"], a["url"], a["status"])
+            for a in c.attempts_table().sort_by("tick").to_pylist()
+        ]
+        assert got_attempts == [
+            (a["tick"], a["url"], a["status"]) for a in want.attempts
+        ]
+        assert {u for u in c.pages_table().column("url").to_pylist()} \
+            == want.seen
+        assert all(u in want.seen for u in new_sites)
+    finally:
+        c.shutdown()
