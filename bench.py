@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "importance_sample",
     "lang_length_quantiles",
     "normalize_text",
+    "top_terms_per_doc",
 ]
 
 

@@ -3469,6 +3469,66 @@ def q_stratified_sample(sf_dir: str):
     )
 
 
+def q_top_terms_per_doc(sf_dir: str):
+    """Per-document top-3 terms by frequency (len>2 words, count desc then
+    word asc) — the per-doc keyword profile used for boilerplate and
+    topic inspection. EMBARRASSINGLY parallel: the entire ranking is
+    local to each document, so this is a pure stateless map_batches with
+    zero shuffle — the counter-example to reflexively reaching for a
+    groupby (the doc is the group and never spans batches)."""
+    k = 3
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def top_terms(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(words)
+        parents = pc.list_parent_indices(words)
+        keep = pc.greater(pc.utf8_length(flat), 2)
+        t = pa.table(
+            {"doc_id": batch.column("doc_id").take(parents.filter(keep)),
+             "word": flat.filter(keep)}
+        )
+        counted = (
+            t.group_by(["doc_id", "word"]).aggregate([([], "count_all")])
+            .rename_columns(["doc_id", "word", "n"])
+        )
+        idx = pc.sort_indices(
+            counted, sort_keys=[("doc_id", "ascending"), ("n", "descending"),
+                                ("word", "ascending")],
+        )
+        counted = counted.take(idx)
+        dids = counted.column("doc_id").to_numpy()
+        starts = np.r_[0, np.flatnonzero(dids[1:] != dids[:-1]) + 1]
+        rank = np.arange(len(dids)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(dids)])
+        )
+        out = counted.filter(pa.array(rank < k))
+        return out.append_column(
+            "rank", pa.array((rank[rank < k] + 1).astype(np.int64))
+        )
+
+    return ds.map_batches(top_terms, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+QUERIES["top_terms_per_doc"] = q_top_terms_per_doc
+ORACLES["top_terms_per_doc"] = """
+    SELECT doc_id, word, n, rank FROM (
+        SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n,
+               row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY count(*) DESC, word
+               ) AS rank
+        FROM (
+            SELECT doc_id, unnest(str_split(text, ' ')) AS word
+            FROM documents
+        )
+        WHERE length(word) > 2
+        GROUP BY doc_id, word
+    ) WHERE rank <= 3
+"""
+
+
 def q_lang_length_quantiles(sf_dir: str):
     """EXACT grouped discrete quantiles: p25/p50/p75/p90 of n_chars per
     language — the per-stratum length profile a corpus-balancing pipeline
