@@ -11,6 +11,7 @@ the operator suite over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
 
   python bench.py              # best-of-2 at $RAY_GRAFT_CPUS (default 32)
   python bench.py --scaling    # 2-cpu vs 8-cpu subprocess runs + efficiency
+  GRAFT_SEEN_SPILL=1 python bench.py   # crawl over the spill-mode seen set
 
 The VM has noisy neighbors (identical runs measured 49 s vs 83 s), so
 EVERY reported number is a min-of-2: the headline crawl runs as two fresh
@@ -163,6 +164,11 @@ def run_once() -> dict:
         ckpt_dir=f"{base}/ckpt",
         keep_logs=False,
         checkpoint_every=4,
+        # GRAFT_SEEN_SPILL=1: run the 10^10-scale seen-set path (sorted
+        # parquet runs + filter-first membership) — the SCALING.md round-3
+        # measurement, reproducible: measured FASTER than in-memory
+        seen_spill=os.environ.get("GRAFT_SEEN_SPILL") == "1",
+        seen_max_mem_urls=2048,
     )
     from owlcrawler_ray.pipelines.crawl import warmup_workers
 
