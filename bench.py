@@ -185,6 +185,9 @@ def run_once() -> dict:
         "image_rows": n_images,
         "urls_per_s": round(summary["fetched"] / crawl_sec, 2),
         "image_rows_per_s": round(n_images / crawl_sec, 2),
+        # spill-mode legs must be distinguishable in BENCH history — a
+        # seen-set-mode mismatch would silently corrupt min-of-2 deltas
+        "seen_spill": cfg.seen_spill,
     }
 
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":

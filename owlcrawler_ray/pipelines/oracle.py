@@ -70,6 +70,8 @@ def run_oracle(web: SyntheticWeb, max_ticks: int = 10**9,
         for t in sorted(k for k in pending if k <= tick):
             queue.extend(pending.pop(t))
         if not queue:
+            if not pending:  # e.g. the delivered group was empty
+                break
             # frontier drained before an injection tick: deliver the next
             # injection group NOW — the crawler analog is add_sites()
             # after run() drained, then run() again, and the politeness
