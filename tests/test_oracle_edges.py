@@ -80,3 +80,65 @@ def test_fingerprint_oracle_emits_rows_for_wordless_docs(con):
     assert set(got) == {i for i, _, _ in ROWS}
     for i, _, text in ROWS:
         assert got[i] == min_fingerprint(text), i
+
+
+def test_importance_sample_oracle_saturation_branch():
+    """The p >= 1 saturation branch (n_chars >= 2000: always kept) and the
+    u64 threshold math, on crafted rows the corpus doesn't cover."""
+    import hashlib
+
+    c = duckdb.connect()
+    rows = [(0, 10), (1, 1999), (2, 2000), (3, 50_000), (4, 0)]
+    values = ", ".join(f"({i}, {n})" for i, n in rows)
+    c.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM (VALUES {values}) AS t(doc_id, n_chars)"
+    )
+    got = set(
+        r[0] for r in c.execute(
+            f"SELECT doc_id FROM ({ORACLES['importance_sample']})"
+        ).fetchall()
+    )
+    scale, lim = (1 << 64) // 2000, (1 << 64) - 1
+    want = set()
+    for i, n in rows:
+        u = int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "little")
+        if u < min(n * scale, lim):
+            want.add(i)
+    assert got == want
+    assert {2, 3} <= got  # saturated docs always kept
+    assert 4 not in got  # zero-weight doc never kept
+
+
+def test_normalize_text_oracle_whitespace_classes():
+    """Arrow utf8_trim_whitespace and DuckDB trim() must agree on the
+    whitespace classes: ASCII tab/newline (collapsed by \\s+) and U+00A0,
+    which RE2 \\s does NOT match but BOTH engines' trim strips at the
+    edges (verified empirically)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    texts = [
+        "  Hello\tWorld \n",
+        "a\u00a0b",            # nbsp inside: survives collapse AND trim
+        "\u00a0c d\u00a0",    # nbsp at the edges: trimmed by both
+        "",
+        "   ",
+        "MiXeD   CASE\t\ttabs",
+    ]
+    c = duckdb.connect()
+    c.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        c.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    got = dict(
+        c.execute(
+            f"SELECT doc_id, norm_text FROM ({ORACLES['normalize_text']})"
+        ).fetchall()
+    )
+    want = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(pc.utf8_lower(pa.array(texts)), r"\s+", " ")
+    ).to_pylist()
+    assert got == {i: w for i, w in enumerate(want)}
+    assert got[1] == "a\u00a0b"       # inner nbsp preserved by both
+    assert got[2] == "c d"            # edge nbsp stripped by both
+    assert got[5] == "mixed case tabs"
