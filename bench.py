@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "lang_length_quantiles",
     "normalize_text",
     "top_terms_per_doc",
+    "users_per_event_type",
 ]
 
 

@@ -3469,6 +3469,34 @@ def q_stratified_sample(sf_dir: str):
     )
 
 
+def q_users_per_event_type(sf_dir: str):
+    """Grouped EXACT distinct count: distinct users per event type — the
+    exact complement of the HLL sketch path (q_hll_distinct_orders).
+    Scale shape: per-batch unique (type, user) pairs FIRST (map-side
+    dedup bounds the exchange at distinct-pairs-per-batch, not events),
+    one hash groupby dedups globally, then a tiny per-type count."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def uniq_pairs(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
+
+    return (
+        ds.map_batches(uniq_pairs, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="dup"))  # global dedup: 1 row per pair
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+    ).select_columns(["event_type", "n_users"])
+
+
+QUERIES["users_per_event_type"] = q_users_per_event_type
+ORACLES["users_per_event_type"] = """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+"""
+
+
 def q_top_terms_per_doc(sf_dir: str):
     """Per-document top-3 terms by frequency (len>2 words, count desc then
     word asc) — the per-doc keyword profile used for boilerplate and
