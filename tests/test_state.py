@@ -428,3 +428,49 @@ def test_politeness_token_bucket_property():
             assert granted <= cfg.burst + cfg.rate_per_s * t + 1e-6
 
     run()
+
+
+def test_cuckoo_filter_no_false_negatives_property():
+    """Property: while no kick chain has failed (dropped == 0), every
+    successfully inserted key IS contained — the no-false-negatives
+    invariant the seen-set's filter-first membership rests on. Deletions
+    of inserted keys succeed and re-querying the remainder still holds."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        keys=st.lists(st.integers(1, 2**63 - 1), min_size=1, max_size=200,
+                      unique=True),
+        cap=st.sampled_from([64, 256, 1024]),
+        n_del=st.integers(0, 20),
+    )
+    def run(keys, cap, n_del):
+        f = CuckooFilter(cap)
+        inserted = []
+        for k in keys:
+            if f.insert(k):
+                inserted.append(k)
+            if f.dropped:
+                break  # saturation: the invariant is void by contract
+        if f.dropped == 0 and inserted:
+            assert f.contains_many(
+                np.array(inserted, dtype=np.uint64)
+            ).all()
+            victims = inserted[:n_del]
+            for k in victims:
+                assert f.delete(k)
+            rest = inserted[n_del:]
+            if rest:
+                assert f.contains_many(
+                    np.array(rest, dtype=np.uint64)
+                ).all()
+            # state round-trip preserves membership exactly
+            g = CuckooFilter(cap)
+            g.restore(f.state())
+            if rest:
+                assert g.contains_many(
+                    np.array(rest, dtype=np.uint64)
+                ).all()
+
+    run()
