@@ -142,3 +142,38 @@ def test_normalize_text_oracle_whitespace_classes():
     assert got[1] == "a\u00a0b"       # inner nbsp preserved by both
     assert got[2] == "c d"            # edge nbsp stripped by both
     assert got[5] == "mixed case tabs"
+
+
+def test_lang_length_quantiles_selection_rule_edges():
+    """The integer selection rule (index = ceil(q*n)-1 on the ascending
+    sort) must match DuckDB quantile_disc on tiny strata — group sizes
+    1..6, where off-by-one indexing shows immediately."""
+    c = duckdb.connect()
+    c.execute("CREATE TABLE documents (doc_id BIGINT, lang VARCHAR, n_chars BIGINT)")
+    rows = []
+    i = 0
+    for gi, size in enumerate([1, 2, 3, 4, 5, 6]):
+        for v in range(size):
+            rows.append((i, f"g{gi}", (v + 1) * 10 + gi))
+            i += 1
+    for r in rows:
+        c.execute("INSERT INTO documents VALUES (?, ?, ?)", list(r))
+    # raw fetchall returns DuckDB DECIMALs for the unnested q list;
+    # float() them (Decimal('0.9') != 0.9)
+    got = {
+        (lang, float(q)): v
+        for lang, q, v in c.execute(
+            f"SELECT lang, q, value FROM ({ORACLES['lang_length_quantiles']})"
+        ).fetchall()
+    }
+    qs = [(1, 4, 0.25), (1, 2, 0.5), (3, 4, 0.75), (9, 10, 0.9)]
+    by_lang: dict[str, list[int]] = {}
+    for _, lang, n in rows:
+        by_lang.setdefault(lang, []).append(n)
+    for lang, vals in by_lang.items():
+        vals = sorted(vals)
+        n = len(vals)
+        for num, den, q in qs:
+            assert got[(lang, q)] == vals[(num * n + den - 1) // den - 1], (
+                lang, q, n
+            )
