@@ -80,3 +80,38 @@ def test_phash_properties():
 def test_decode_rejects_foreign_bytes():
     with pytest.raises(ValueError):
         codec.decode(b"\x89PNG\r\n\x1a\nnotours")
+
+
+def test_codec_roundtrip_property():
+    """Property: any uint8 RGB image of any small dimensions round-trips
+    through every codec profile with the profile's guarantee — lossless
+    formats exactly, lossy ones at PSNR >= 40 dB — and decode reports the
+    exact (fmt, w, h)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from owlcrawler_ray.functions import codec
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        fmt=st.sampled_from(["png", "jpeg", "webp"]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def run(w, h, fmt, seed):
+        rng = np.random.default_rng(seed)
+        pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        buf = codec.encode(pix, fmt)
+        out, got_fmt, got_w, got_h = codec.decode(buf)
+        assert (got_fmt, got_w, got_h) == (fmt, w, h)
+        assert out.shape == pix.shape and out.dtype == np.uint8
+        if fmt == "png":
+            assert np.array_equal(out, pix)
+        else:
+            mse = float(np.mean((out.astype(np.float64) - pix) ** 2))
+            psnr = 10 * np.log10(255.0**2 / mse) if mse else float("inf")
+            assert psnr >= 40.0, (fmt, psnr)
+
+    run()
