@@ -27,6 +27,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from .pipelines.crawl import CrawlConfig
     from .sources.corpus import WebConfig
+    from .state.politeness import PolitenessConfig
 
     p = argparse.ArgumentParser(prog="python -m owlcrawler_ray")
     p.add_argument("--out", required=True, help="output table root")
@@ -50,6 +51,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-hosts", type=int, default=6)
     p.add_argument("--base-pages", type=int, default=12)
     p.add_argument("--seed-hosts", type=int, default=3)
+    p.add_argument("--rate", type=float, default=1.0,
+                   help="polite mode: fetch tokens per virtual second per"
+                        " host")
+    p.add_argument("--burst", type=float, default=4.0,
+                   help="polite mode: per-host token-bucket burst")
+    p.add_argument("--seen-spill", action="store_true",
+                   help="spill each seen shard's exact set to sorted"
+                        " parquet runs (the 10^10-URL memory model)")
     args = p.parse_args(argv)
 
     started_ray = False
@@ -72,6 +81,10 @@ def main(argv: list[str] | None = None) -> int:
         ckpt_dir=args.ckpt,
         fetch_robots=args.robots,
         keep_logs=False,
+        politeness=PolitenessConfig(
+            mode=args.mode, rate_per_s=args.rate, burst=args.burst
+        ),
+        seen_spill=args.seen_spill,
     )
     from .pipelines.crawl import Crawler
     crawler = Crawler(cfg, resume=args.resume)
