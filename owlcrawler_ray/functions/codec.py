@@ -11,9 +11,15 @@ A real PIL-based codec can drop in behind the same encode/decode signature
 
 Wire format: b"OWLC" | fmt_code u8 | shift u8 | w u16le | h u16le |
 zlib(quantized RGB bytes, level 6). shift = dropped low bits per channel
-(0 = lossless). Quantization: q = clip(round(v / 2^s), 0, 2^(8-s)-1),
-reconstruction v' = q * 2^s + 2^(s-1) — max abs error 2^(s-1), so PSNR is
-~46 dB at s=2 and ~52 dB at s=1, comfortably over the 40 dB invariant.
+(0 = lossless). Quantization: q = v >> s (floor — max q = 2^(8-s)-1, no
+clip needed), reconstruction v' = q * 2^s + 2^(s-1) (bin center). Floor +
+bin-center is nearest-level for every input, so the worst-case per-pixel
+error is 2^(s-1): even a 1x1 image of worst-case pixels decodes at
+>= 20*log10(255/2^(s-1)) dB = 42.1 dB at s=2 / 48.1 dB at s=1 — a hard
+per-row floor over the 40 dB invariant, not an averaged one. (Round-3's
+np.round(v/2^s) used banker's rounding, whose half-to-even ties landed
+boundary values one bin off — error up to 2^s + 2^(s-1), 38.6 dB on a
+lone pixel; caught by test_codec_roundtrip_property.)
 """
 
 from __future__ import annotations
@@ -58,9 +64,7 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
     assert c == 3 and pixels.dtype == np.uint8
     s = _FMT_SHIFT[fmt]
     if s:
-        q = np.clip(
-            np.round(pixels.astype(np.float64) / (1 << s)), 0, (1 << (8 - s)) - 1
-        ).astype(np.uint8)
+        q = pixels >> s  # floor; max q = 2^(8-s)-1 by construction
     else:
         q = pixels
     head = (

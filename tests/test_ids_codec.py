@@ -93,7 +93,9 @@ def test_codec_roundtrip_property():
 
     from owlcrawler_ray.functions import codec
 
-    @settings(max_examples=40, deadline=None)
+    # derandomize pins the example stream: the suite can't green-wash a
+    # boundary bug by drawing 40 lucky examples (round-3 postmortem).
+    @settings(max_examples=80, deadline=None, derandomize=True)
     @given(
         w=st.integers(1, 40),
         h=st.integers(1, 40),
