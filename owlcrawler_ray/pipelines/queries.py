@@ -101,6 +101,19 @@ def _log_dropped(dropped: list, ctx: str) -> None:
         )
 
 
+def _join_width(frac: float = 1.0, lo: int = 4, hi: int = 256) -> int:
+    """Hash-join / shuffle partition count derived from the cluster CPU
+    count, like _pool_size does for actor pools. A literal 4/8/16 (the r3
+    shape) is fine at sf0.1 but starves the shuffle on a wide cluster —
+    one partition per core keeps every reducer busy, and the hi clamp
+    keeps tiny test inputs from fragmenting into empty blocks."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:  # not initialised yet (import-time callers)
+        cpus = 4
+    return max(lo, min(hi, int(cpus * frac)))
+
+
 def _pool_size(frac: float = 0.5, lo: int = 1) -> tuple[int, int]:
     """Actor-pool sizing derived from the cluster CPU count. A hard-coded
     (1, 2) pool starves a 32-cpu node (measured in BENCH_r01: decode
@@ -278,13 +291,15 @@ def q_anti_join_bloom(sf_dir: str):
                    broadcast anyway). Exchange: O(total keys x k) index
                    rows + S slices — independent of batch count, and no
                    serial driver OR-loop.
-      probe      — bloom NEGATIVES exit immediately (a bloom negative is
-                   definitively unseen); only the POSITIVES sliver (real
-                   matches + ~fp-rate) enters a hash-partitioned
-                   LEFT ANTI Dataset.join against the build side's
-                   distinct keys. The bloom's job is to keep rows that
-                   cannot match out of the shuffle: the join's left side
-                   carries ~(matches + 1%) of the probe, not all of it.
+      probe      — ONE scan flags every probe row with its bloom verdict
+                   (slim materialized projection, so the probe is read
+                   and hashed exactly once). NEGATIVES exit immediately
+                   (a bloom negative is definitively unseen); only the
+                   POSITIVES sliver (real matches + ~fp-rate) enters a
+                   hash-partitioned LEFT ANTI Dataset.join against the
+                   build side's distinct keys. The bloom's job is to keep
+                   rows that cannot match out of the shuffle: the join's
+                   left side carries ~(matches + 1%) of the probe.
 
     Everything stays in Dataset-native ops: an earlier variant ran the
     exact recheck as actor RPCs from inside map tasks and hit Ray's
@@ -339,27 +354,38 @@ def q_anti_join_bloom(sf_dir: str):
         )
     bloom_ref = ray.put((merged.m, merged.k, merged.bits))
 
-    def split(keep_hits: bool):
+    def flag(batch: pa.Table) -> pa.Table:
+        m, kk, bits = ray.get(bloom_ref)
+        b = BloomFilter.__new__(BloomFilter)
+        b.m, b.k, b.bits = m, kk, bits
+        probe = batch.column("o_orderkey").to_numpy()
+        hit = b.contains_many(
+            url_hash64_many([str(x) for x in probe.tolist()])
+        )
+        return batch.append_column("hit", pa.array(hit))
+
+    # ONE pass over the probe (read + hash once — r3 ran separate
+    # negatives/positives scans, doubling the probe I/O of the flagship
+    # 100-TB operator); the flagged projection is slim (2 keys + 1 bool)
+    # and materializes so both consumers below split it without re-reading
+    flagged = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+        .map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    def keep(want_hit: bool):
         def f(batch: pa.Table) -> pa.Table:
-            m, kk, bits = ray.get(bloom_ref)
-            b = BloomFilter.__new__(BloomFilter)
-            b.m, b.k, b.bits = m, kk, bits
-            probe = batch.column("o_orderkey").to_numpy()
-            hit = b.contains_many(
-                url_hash64_many([str(x) for x in probe.tolist()])
-            )
-            return batch.filter(pa.array(hit if keep_hits else ~hit))
+            mask = batch.column("hit")
+            return batch.filter(
+                mask if want_hit else pc.invert(mask)
+            ).drop_columns(["hit"])
         return f
 
-    def probe_ds():
-        return _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-
-    negatives = probe_ds().map_batches(
-        split(False), batch_format="pyarrow", zero_copy_batch=True
-    )
-    positives = probe_ds().map_batches(
-        split(True), batch_format="pyarrow", zero_copy_batch=True
-    )
+    negatives = flagged.map_batches(keep(False), batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    positives = flagged.map_batches(keep(True), batch_format="pyarrow",
+                                    zero_copy_batch=True)
     # build keys deduped per batch only (map-side, shuffle-free): LEFT
     # ANTI is insensitive to duplicate right keys, so the global distinct
     # aggregate would be a wasted all-to-all stage
@@ -368,7 +394,7 @@ def q_anti_join_bloom(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True,
     )
     kept = positives.join(
-        li_keys, join_type="left_anti", num_partitions=8,
+        li_keys, join_type="left_anti", num_partitions=_join_width(),
         on=("o_orderkey",), right_on=("l_orderkey",),
     ).select_columns(["o_orderkey", "o_custkey"])
     return negatives.union(kept)
@@ -723,7 +749,9 @@ def _near_clone_union(sf_dir: str):
 def q_minhash_lsh_pairs(sf_dir: str):
     """shingle -> minhash (8 perms) -> 8 bands of 1 -> band-bucket groupby
     -> candidate pairs. Signatures are computed per batch (stateless,
-    vectorized over docs); the ONLY shuffle is the tiny (band, hash) one."""
+    vectorized over docs); the shuffles are the tiny (band, hash) count
+    exchange plus a groupby over the (rare) hot-bucket rows only — pair
+    assembly itself runs task-side in map_groups, never on the driver."""
     ds = _near_clone_union(sf_dir)
 
     def sig_batch(batch: pa.Table) -> pa.Table:
@@ -769,16 +797,21 @@ def q_minhash_lsh_pairs(sf_dir: str):
         .groupby("bucket")
         .aggregate(Sum("n_p", alias_name="n"))
     )
-    hot = {
-        r["bucket"]
-        for r in counts.filter(expr="n >= 2").take_all()
-    }
+    hot_counts = counts.filter(expr="n >= 2").take_all()
+    hot = {r["bucket"] for r in hot_counts}
     if not hot:
         return pa.table(
             {"doc_a": pa.array([], pa.int64()),
              "doc_b": pa.array([], pa.int64()),
              "n_bands": pa.array([], pa.int64())}
         )
+    # snapshot the cap (ships by value into the map_groups closure) and
+    # account the drops HERE — the bucket-count aggregate already knows
+    # exactly how many members exceed the cap, so "no silent caps" stays a
+    # single driver-side log with the exact global number
+    cap = MAX_BUCKET_MEMBERS
+    _log_dropped([sum(max(0, r["n"] - cap) for r in hot_counts)],
+                 "minhash_lsh_pairs")
     # broadcast the hot keys as an Arrow array: membership is the
     # vectorized pc.is_in kernel, not a per-row Python loop (r2 verdict)
     hot_ref = ray.put(pa.array(sorted(hot), pa.string()))
@@ -793,32 +826,31 @@ def q_minhash_lsh_pairs(sf_dir: str):
             pc.is_in(key, value_set=hset)
         )
 
-    blocks = [
-        t for t in ray.get(
-            bands.map_batches(in_hot, batch_format="pyarrow").to_arrow_refs()
-        )
-        if t.num_rows > 0  # empty blocks may carry a pre-map schema
-    ]
-    if not blocks:
+    # pair assembly runs TASK-SIDE: groupby(bucket).map_groups over the
+    # is_in-filtered hot rows (every group has >=2 members by construction,
+    # so the per-group task overhead objection to map_groups no longer
+    # applies). The skew cap is enforced inside the task; the driver only
+    # ever holds (doc_a, doc_b) pair partials — the same order of bytes as
+    # the op's OUTPUT table — never the hot rows themselves.
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        ms = sorted(set(g.column("doc_id").to_pylist()))[:cap]
+        arr = np.asarray(ms, dtype=np.int64)
+        ai, bi = np.triu_indices(len(arr), k=1)
         return pa.table(
-            {"doc_a": pa.array([], pa.int64()),
-             "doc_b": pa.array([], pa.int64()),
-             "n_bands": pa.array([], pa.int64())}
+            {"doc_a": pa.array(arr[ai], pa.int64()),
+             "doc_b": pa.array(arr[bi], pa.int64())}
         )
-    small = pa.concat_tables(blocks)
-    buckets: dict[str, list[int]] = {}
-    for did, bk in zip(small.column("doc_id").to_pylist(),
-                       small.column("bucket").to_pylist()):
-        buckets.setdefault(bk, []).append(did)
+
+    partials = (
+        bands.map_batches(in_hot, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(emit_pairs, batch_format="pyarrow")
+        .take_all()  # bounded: capped per-bucket pairs == output order
+    )
     pair_bands: dict[tuple[int, int], int] = {}
-    dropped = [0]
-    for members in buckets.values():
-        ms = _cap_members(sorted(set(members)), dropped)
-        for i in range(len(ms)):
-            for j in range(i + 1, len(ms)):
-                p = (ms[i], ms[j])
-                pair_bands[p] = pair_bands.get(p, 0) + 1
-    _log_dropped(dropped, "minhash_lsh_pairs")
+    for r in partials:  # n_bands = number of buckets the pair co-occurs in
+        p = (r["doc_a"], r["doc_b"])
+        pair_bands[p] = pair_bands.get(p, 0) + 1
     items = sorted(pair_bands.items())
     return pa.table(
         {
@@ -1128,45 +1160,48 @@ def q_embedding_near_dup(sf_dir: str):
         coded.map_batches(bucket_partial, batch_format="pyarrow")
         .groupby("bucket").aggregate(Sum("n_p", alias_name="n"))
     )
-    hot = {r["bucket"] for r in counts.filter(expr="n >= 2").take_all()}
+    hot_counts = counts.filter(expr="n >= 2").take_all()
+    hot = {r["bucket"] for r in hot_counts}
     if not hot:
         return _EMB_PAIR_SCHEMA.empty_table()
+    # cap snapshot (by-value into tasks) + exact driver-side drop account
+    # from the bucket counts (see minhash_lsh_pairs)
+    cap = MAX_BUCKET_MEMBERS
+    _log_dropped([sum(max(0, r["n"] - cap) for r in hot_counts)],
+                 "embedding_near_dup")
     hot_ref = ray.put(pa.array(sorted(hot), pa.string()))
 
     def in_hot(batch: pa.Table) -> pa.Table:
         hs = ray.get(hot_ref)  # vectorized is_in, not a per-row loop
         return batch.filter(pc.is_in(batch.column("bucket"), value_set=hs))
 
-    blocks = [
-        t for t in ray.get(
-            coded.map_batches(in_hot, batch_format="pyarrow").to_arrow_refs()
+    # exact-cosine verification runs TASK-SIDE per hot bucket (groupby +
+    # map_groups; every group >=2 members). The float vectors never reach
+    # the driver — it only merges verified (vec_a, vec_b) id pairs, the
+    # same bytes as the op's output. The cap is enforced in the task.
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g.column("vec_id").to_pylist(), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")[:cap]  # keep cap smallest ids
+        ids = ids[order]
+        mat = np.asarray(g.column("embedding").to_pylist(), np.float64)[order]
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
         )
-        if t.num_rows > 0
-    ]
-    if not blocks:
-        return _EMB_PAIR_SCHEMA.empty_table()
-    small = pa.concat_tables(blocks)  # O(hot-bucket members), tiny
-    members: dict[str, list[tuple[int, np.ndarray]]] = {}
-    for bk, vid, emb_l in zip(small.column("bucket").to_pylist(),
-                              small.column("vec_id").to_pylist(),
-                              small.column("embedding").to_pylist()):
-        members.setdefault(bk, []).append((vid, np.asarray(emb_l, np.float64)))
-    pairs: set[tuple[int, int]] = set()
-    dropped = [0]
-    for ms in members.values():
-        ms = _cap_members(sorted(ms, key=lambda x: x[0]), dropped)
-        for i in range(len(ms)):
-            vi, ei = ms[i]
-            ei = ei / max(np.linalg.norm(ei), 1e-12)
-            for j in range(i + 1, len(ms)):
-                vj, ej = ms[j]
-                if vi == vj:
-                    continue
-                ej = ej / max(np.linalg.norm(ej), 1e-12)
-                if float(ei @ ej) > thresh:
-                    pairs.add((vi, vj))
-    _log_dropped(dropped, "embedding_near_dup")
-    items = sorted(pairs)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        sims = np.einsum("ij,ij->i", mat[ai], mat[bi])
+        m = (sims > thresh) & (ids[ai] != ids[bi])
+        return pa.table(
+            {"vec_a": pa.array(ids[ai][m], pa.int64()),
+             "vec_b": pa.array(ids[bi][m], pa.int64())}
+        )
+
+    partials = (
+        coded.map_batches(in_hot, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(emit_pairs, batch_format="pyarrow")
+        .take_all()  # bounded: verified pairs only (multi-table dups merged)
+    )
+    items = sorted({(r["vec_a"], r["vec_b"]) for r in partials})
     return pa.table(
         {
             "vec_a": pa.array([p[0] for p in items], pa.int64()),
@@ -1474,9 +1509,11 @@ def q_images_phash_pairs(sf_dir: str):
     LSH keys, find >=2-member band-buckets via a cheap count-aggregate
     (NOT map_groups over ~10^4 mostly-singleton groups — the per-group
     task overhead swamps the work; same lesson as minhash_lsh_pairs),
-    broadcast the tiny hot set, verify candidates by full hamming <= 6 on
-    the filtered hot rows. The only shuffle is the (band|key, count)
-    partial exchange — never pairwise over images."""
+    broadcast the tiny hot set, then verify candidates by full hamming
+    <= 6 task-side: groupby(bucket).map_groups over the filtered hot rows
+    only (all groups >=2 members, so map_groups is cheap HERE). Shuffles
+    are the (band|key, count) partial exchange and the tiny hot-row
+    groupby — never pairwise over images, never a driver concat."""
     from ..functions.textops import hamming64_many
 
     ds = _images_input(sf_dir).select_columns(["image_id", "phash"])
@@ -1522,44 +1559,51 @@ def q_images_phash_pairs(sf_dir: str):
          "img_b": pa.array([], pa.string()),
          "n_bands": pa.array([], pa.int64())}
     )
-    hot = {r["bucket"] for r in counts.filter(expr="n >= 2").take_all()}
+    hot_counts = counts.filter(expr="n >= 2").take_all()
+    hot = {r["bucket"] for r in hot_counts}
     if not hot:
         return empty
+    # cap snapshot (by-value into tasks) + exact driver-side drop account
+    # from the bucket counts (see minhash_lsh_pairs)
+    cap = MAX_BUCKET_MEMBERS
+    _log_dropped([sum(max(0, r["n"] - cap) for r in hot_counts)],
+                 "images_phash_pairs")
     hot_ref = ray.put(pa.array(sorted(hot), pa.string()))
 
     def in_hot(batch: pa.Table) -> pa.Table:
         hs = ray.get(hot_ref)  # vectorized is_in, not a per-row loop
         return batch.filter(pc.is_in(batch.column("bucket"), value_set=hs))
 
-    blocks = [
-        t for t in ray.get(
-            banded.map_batches(in_hot, batch_format="pyarrow").to_arrow_refs()
-        )
-        if t.num_rows > 0
-    ]
-    if not blocks:
-        return empty
-    small = pa.concat_tables(blocks)  # O(hot members), tiny
-    members: dict[str, dict[str, int]] = {}
-    for bk, pid, ph in zip(small.column("bucket").to_pylist(),
-                           small.column("image_id").to_pylist(),
-                           small.column("phash").to_pylist()):
-        members.setdefault(bk, {})[pid] = ph
-    pair_bands: dict[tuple[str, str], int] = {}
-    dropped = [0]
-    for ms in members.values():
-        items = _cap_members(sorted(ms.items()), dropped)
-        n = len(items)
-        if n < 2:
-            continue
+    # hamming verification runs TASK-SIDE per hot bucket (groupby +
+    # map_groups; every group >=2 members) — the driver merges only the
+    # verified (img_a, img_b) pair partials, the same order of bytes as
+    # the output. The cap is enforced in the task.
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        items = sorted(zip(g.column("image_id").to_pylist(),
+                           g.column("phash").to_pylist()))[:cap]
         ids_l = [p for p, _ in items]
         ph = np.array([h for _, h in items], dtype=np.int64)
-        for i in range(n - 1):
-            d = hamming64_many(np.repeat(ph[i], n - i - 1), ph[i + 1:])
-            for j in np.where(d <= 6)[0]:
-                p = (ids_l[i], ids_l[i + 1 + j])
-                pair_bands[p] = pair_bands.get(p, 0) + 1
-    _log_dropped(dropped, "images_phash_pairs")
+        ai, bi = np.triu_indices(len(items), k=1)
+        m = hamming64_many(ph[ai], ph[bi]) <= 6
+        return pa.table(
+            {
+                "img_a": pa.array([ids_l[i] for i in ai[m]], pa.string()),
+                "img_b": pa.array([ids_l[i] for i in bi[m]], pa.string()),
+            }
+        )
+
+    partials = (
+        banded.map_batches(in_hot, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(emit_pairs, batch_format="pyarrow")
+        .take_all()  # bounded: verified pairs == output order
+    )
+    if not partials:
+        return empty
+    pair_bands: dict[tuple[str, str], int] = {}
+    for r in partials:  # n_bands = number of bands the pair collides in
+        p = (r["img_a"], r["img_b"])
+        pair_bands[p] = pair_bands.get(p, 0) + 1
     items = sorted(pair_bands.items())
     return pa.table(
         {
@@ -1837,7 +1881,7 @@ def q_dedup_documents(sf_dir: str):
     keep = groups.select_columns(["keep_id"])
     ds = _with_clones(_read(sf_dir, "documents", columns=["doc_id", "text"]), sf_dir)
     return ds.join(
-        keep, join_type="left_semi", num_partitions=8,
+        keep, join_type="left_semi", num_partitions=_join_width(),
         on=("doc_id",), right_on=("keep_id",),
     )
 
@@ -2982,7 +3026,7 @@ def q_partitioned_join(sf_dir: str):
     li_partial = li.map_batches(partial_rev, batch_format="pyarrow",
                                 zero_copy_batch=True)
     joined = orders.join(
-        li_partial, join_type="inner", num_partitions=16,
+        li_partial, join_type="inner", num_partitions=_join_width(),
         on=("o_orderkey",), right_on=("l_orderkey",),
     )
 
@@ -3098,9 +3142,13 @@ def _propagate_components(a: np.ndarray, b: np.ndarray):
             {"node": batch.column("node"), "label": batch.column("parent")}
         )
 
+    # per-superstep join width scales with the cluster (candidate-graph
+    # tables are smaller than the corpus, so half a partition per core)
+    width = _join_width(0.5)
+
     while True:
         prop = edges.join(
-            labels, join_type="inner", num_partitions=4,
+            labels, join_type="inner", num_partitions=width,
             on=("a",), right_on=("node",),
         ).map_batches(proposals, batch_format="pyarrow")
         stepped = (
@@ -3113,7 +3161,7 @@ def _propagate_components(a: np.ndarray, b: np.ndarray):
         parents = stepped.map_batches(as_parent, batch_format="pyarrow")
         labels = (
             stepped.join(
-                parents, join_type="inner", num_partitions=4,
+                parents, join_type="inner", num_partitions=width,
                 on=("label",), right_on=("src",),
             )
             .map_batches(jumped, batch_format="pyarrow")
