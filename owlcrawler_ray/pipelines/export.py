@@ -62,22 +62,27 @@ def export_pages(crawl_out: str, export_root: str, n_buckets: int = 8,
 
         def shard_write(batch: pa.Table) -> pa.Table:
             tdirs = ray.get(tmps_ref)
-            ids = batch.column("doc_id").to_pylist()
-            texts = [
-                " ".join([t] + list(ps))
-                for t, ps in zip(batch.column("title").to_pylist(),
-                                 batch.column("text").to_pylist())
-            ]
-            n_chars = np.array([len(t) for t in texts], dtype=np.int64)
-            keep = n_chars >= min_chars
+            # text assembly is pure Arrow ("title para1 para2 ...");
+            # empty-paragraph pages keep the bare title with no trailing
+            # separator, matching ' '.join([title] + paras) exactly
+            paras = batch.column("text")
+            title = batch.column("title")
+            both = pc.binary_join_element_wise(
+                title, pc.binary_join(paras, " "), " "
+            )
+            texts = pc.if_else(
+                pc.equal(pc.list_value_length(paras), 0), title, both
+            )
+            n_chars = pc.cast(pc.utf8_length(texts), pa.int64())
+            keep = pc.greater_equal(n_chars, min_chars)
             slim = pa.table(
                 {
-                    "doc_id": pa.array(ids, pa.string()),
+                    "doc_id": batch.column("doc_id"),
                     "url": batch.column("url"),
-                    "text": pa.array(texts, pa.string()),
-                    "n_chars": pa.array(n_chars),
+                    "text": texts,
+                    "n_chars": n_chars,
                 }
-            ).filter(pa.array(keep))
+            ).filter(keep)
             if slim.num_rows == 0:
                 return pa.table({"bucket": pa.array([], pa.int64()),
                                  "n_p": pa.array([], pa.int64())})

@@ -38,20 +38,18 @@ def _round_postings(pages: pa.Table) -> pa.Table:
     """(word, doc_id, n) partial postings for one round's pages — the
     same word semantics as the couchdb search view (couchdb.go:87-96 +
     F4 len>2): TEXT paragraphs only (the reference designSearch view
-    iterates doc.text.text and never the title), split on spaces."""
-    docs, words = [], []
-    for did, paras in zip(
-        pages.column("doc_id").to_pylist(),
-        pages.column("text").to_pylist(),
-    ):
-        text = " ".join(list(paras))
-        for w in text.split(" "):
-            if len(w) > 2:
-                docs.append(did)
-                words.append(w)
+    iterates doc.text.text and never the title), split on spaces.
+    Fully Arrow-vectorized (the q_word_index kernel shape): paragraph
+    join -> split -> list_flatten/list_parent_indices — no per-row
+    Python loop in the postings hot path."""
+    joined = pc.binary_join(pages.column("text"), " ")
+    words = pc.split_pattern(joined, " ")
+    flat = pc.list_flatten(words)
+    parents = pc.list_parent_indices(words)
+    doc_ids = pages.column("doc_id").take(parents)
+    keep = pc.greater(pc.utf8_length(flat), 2)  # F4: len(word) > 2
     t = pa.table(
-        {"word": pa.array(words, pa.string()),
-         "doc_id": pa.array(docs, pa.string())}
+        {"word": flat.filter(keep), "doc_id": doc_ids.filter(keep)}
     )
     if t.num_rows == 0:
         return pa.table(
