@@ -60,7 +60,7 @@ from ..sinks import table_store
 from ..sinks.checkpoint import CheckpointManager
 from ..sources.corpus import SyntheticWeb, WebConfig
 from ..stages.extract import extract_batch
-from ..stages.fetch import CorpusFetcher
+from ..stages.fetch import CorpusFetcher, FactoryFetcher
 from ..stages.images import ImageDecoder, ImageFetcher
 from ..state.frontier import FrontierShard, entries_table
 from ..state.politeness import PolitenessConfig, PolitenessGate
@@ -103,6 +103,13 @@ class CrawlConfig:
     # contact with a host, parse + cache in the gate (St6). The reference
     # has no robots handling, so parity mode leaves this off.
     fetch_robots: bool = False
+    # optional zero-arg factory returning a Fetcher (e.g.
+    # functools.partial(HttpFetcher, rewrite_base=...)) — None = the
+    # deterministic corpus fetcher. Built INSIDE each task/actor (a live
+    # fetcher holds sockets/threads and must never be pickled). Execution
+    # machinery, deliberately outside fingerprint(): page content, not
+    # transport, defines crawl identity.
+    fetcher_factory: object | None = None
 
     def fingerprint(self) -> str:
         """Semantic identity of a crawl — fields that must match for a
@@ -127,7 +134,8 @@ class CrawlConfig:
         ).hexdigest()
 
 
-def _fetch_extract_fn(web_cfg, raw_tmp, imgs_tmp, fetch_inline: bool):
+def _fetch_extract_fn(web_cfg, raw_tmp, imgs_tmp, fetch_inline: bool,
+                      fetcher_factory=None):
     """The round's ONE heavy distributed pass: fetch (unless an actor-pool
     fetcher already ran upstream) + single-pass extract + image
     fetch/decode/phash, with side-effect writes of the full page rows
@@ -139,13 +147,21 @@ def _fetch_extract_fn(web_cfg, raw_tmp, imgs_tmp, fetch_inline: bool):
     joined back from the stamps sidecar at read time (tick order within a
     round == admission seq order of the distinct urls, so ordering parity
     is preserved)."""
-    fetcher = CorpusFetcher(web_cfg) if fetch_inline else None
     img_fetcher = ImageFetcher(web_cfg) if imgs_tmp is not None else None
     img_decoder = ImageDecoder() if imgs_tmp is not None else None
+    # the fetcher is built lazily INSIDE the task (once, then reused):
+    # a real HttpFetcher holds sockets + a thread pool and cannot ride a
+    # pickled closure; the corpus fetcher is a pure function of config
+    state: dict = {"fetcher": None}
 
     def fe(batch: pa.Table) -> pa.Table:
-        if fetcher is not None:
-            batch = fetcher(batch)
+        if fetch_inline:
+            f = state["fetcher"]
+            if f is None:
+                f = (fetcher_factory() if fetcher_factory
+                     else CorpusFetcher(web_cfg))
+                state["fetcher"] = f
+            batch = f(batch)
         ext = extract_batch(batch)
         ok = ext.filter(pc.equal(ext.column("status"), 200))
         raw = ok.drop_columns(["fetch_candidates", "img_urls", "img_captions"])
@@ -525,11 +541,16 @@ class Crawler:
         )
         if cfg.use_actor_stages:
             # actor-pool fetcher via Dataset: the shape a REAL network
-            # fetcher needs (aiohttp session built once per actor)
+            # fetcher needs (session/thread pool built once per actor)
             fe = _fetch_extract_fn(cfg.web, raw_tmp, imgs_tmp, fetch_inline=False)
+            fetch_cls, ctor_args = (
+                (FactoryFetcher, (cfg.fetcher_factory,))
+                if cfg.fetcher_factory is not None
+                else (CorpusFetcher, (cfg.web,))
+            )
             ds = rd.from_arrow(_slice_tables(tbl, n_blocks)).map_batches(
-                CorpusFetcher,
-                fn_constructor_args=(cfg.web,),
+                fetch_cls,
+                fn_constructor_args=ctor_args,
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
                 concurrency=(1, conc),
@@ -547,7 +568,9 @@ class Crawler:
             # driver-side overhead (measured A/B: 4.4 s vs 3.1 s per 4800
             # pages at 16 cpus) — the Dataset API remains the idiom for the
             # streaming/query pipelines, not for this exchange.
-            fe = _fetch_extract_fn(cfg.web, raw_tmp, imgs_tmp, fetch_inline=True)
+            fe = _fetch_extract_fn(cfg.web, raw_tmp, imgs_tmp,
+                                   fetch_inline=True,
+                                   fetcher_factory=cfg.fetcher_factory)
             fe_task = ray.remote(num_cpus=1)(fe)
             slim = pa.concat_tables(
                 ray.get([fe_task.remote(s) for s in _slice_tables(tbl, n_blocks)])
