@@ -43,10 +43,11 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
 import math
 import os
 import time
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass, field, replace
 
 import numpy as np
 import pyarrow as pa
@@ -756,10 +757,25 @@ class Crawler:
             return False
         fr, sn, manifest = self.ckpt.load(latest)
         if manifest.get("config_fingerprint") != self.cfg.fingerprint():
-            raise ValueError(
-                "checkpoint was produced by a different crawl config; refusing "
-                "to resume (delete the checkpoint dir to start fresh)"
-            )
+            # pre-round-4 polite-mode CLI left the politeness block at its
+            # defaults when fingerprinting (the gate itself ran polite), so
+            # those checkpoints mismatch any non-default --rate/--burst.
+            # Accept that one legacy identity — everything else in the
+            # config dict still had to match — with a loud note.
+            legacy = replace(self.cfg, politeness=PolitenessConfig())
+            if (self.cfg.politeness.mode == "polite"
+                    and manifest.get("config_fingerprint")
+                    == legacy.fingerprint()):
+                logging.getLogger("owlcrawler_ray.crawl").warning(
+                    "resuming a legacy polite-mode checkpoint (its "
+                    "fingerprint predates politeness rate/burst fields)"
+                )
+            else:
+                raise ValueError(
+                    "checkpoint was produced by a different crawl config; "
+                    "refusing to resume (delete the checkpoint dir to start "
+                    "fresh)"
+                )
         ray.get(
             [f.restore.remote(t) for f, t in zip(self.frontier, fr)]
             + [s.restore.remote(t) for s, t in zip(self.seen, sn)]

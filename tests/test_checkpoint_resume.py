@@ -134,3 +134,35 @@ def test_resume_prunes_stale_rounds_after_checkpoint(ray_session, tmp_path):
         assert len(got) == len(want), name
         for g, w in zip(got, want):
             assert g == w, f"{name} row mismatch: {g} != {w}"
+
+
+def test_resume_accepts_legacy_polite_fingerprint(ray_session, tmp_path):
+    """Checkpoints written by the pre-round-4 polite CLI carried a
+    fingerprint with the politeness block left at defaults (the gate ran
+    polite regardless). Resuming one with the fixed CLI (politeness =
+    polite + rate/burst) must be accepted with a warning, not refused —
+    while a genuinely different config still refuses."""
+    from owlcrawler_ray.state.politeness import PolitenessConfig
+
+    base = str(tmp_path / "legacy")
+    shutil.rmtree(base, ignore_errors=True)
+    # legacy shape: CrawlConfig.mode polite, politeness block left default
+    legacy_cfg = _cfg(base, mode="polite", max_ticks=12)
+    c1, _ = run_crawl(legacy_cfg)
+    c1.shutdown()
+
+    new_cfg = _cfg(
+        base, mode="polite",
+        politeness=PolitenessConfig(mode="polite", rate_per_s=1.0, burst=4.0),
+    )
+    assert new_cfg.fingerprint() != legacy_cfg.fingerprint()
+    c2 = Crawler(new_cfg, resume=True)  # must not raise
+    assert c2.round_id > 0  # actually restored, not fresh
+    c2.shutdown()
+
+    # parity-mode configs get NO legacy leniency
+    parity_resume = _cfg(
+        base, politeness=PolitenessConfig(rate_per_s=9.0)
+    )
+    with pytest.raises(ValueError, match="different crawl config"):
+        Crawler(parity_resume, resume=True)

@@ -493,3 +493,47 @@ def test_image_dup_clusters_transitive_closure(ray_session):
             want[m] = key
     assert dict(zip(got["image_id"], got["cluster"])) == want
     assert len(got) == len(parent)
+
+
+def test_image_dup_clusters_vs_duckdb_recursive_cte(ray_session, tmp_path):
+    """SQL-grade gate for the image clustering path: dump the phash pair
+    graph to parquet and let DuckDB compute the transitive closure with
+    the SAME recursive CTE shape as the near_dup_components driver oracle
+    (cluster = min reachable image_id). The images table itself cannot be
+    a driver-scoreboard view (pixels -> DCT phash is not SQL-expressible),
+    so this pytest is where the clustering op gets its bit-exact SQL
+    check; see COVERAGE.md."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from owlcrawler_ray.pipelines.queries import (
+        QUERIES,
+        q_images_phash_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pairs = q_images_phash_pairs(sf)
+    assert pairs.num_rows > 0
+    dump = str(tmp_path / "phash_pairs.parquet")
+    pq.write_table(pairs, dump)
+    got = QUERIES["image_dup_clusters"](sf).to_pandas()
+
+    con = duckdb.connect()
+    want = con.execute(f"""
+        WITH RECURSIVE cand AS (
+            SELECT img_a, img_b FROM read_parquet('{dump}')
+        ), edges AS (
+            SELECT img_a AS src, img_b AS dst FROM cand
+            UNION ALL SELECT img_b, img_a FROM cand
+        ), reach(src, dst) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS image_id, min(dst) AS cluster
+        FROM reach GROUP BY src ORDER BY image_id
+    """).df()
+    got = got.sort_values("image_id").reset_index(drop=True)
+    want = want.sort_values("image_id").reset_index(drop=True)
+    assert got["image_id"].tolist() == want["image_id"].tolist()
+    assert got["cluster"].tolist() == want["cluster"].tolist()
