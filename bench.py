@@ -240,6 +240,12 @@ def run_default() -> dict:
 
     legs = [_crawl_leg(NCPU), _crawl_leg(NCPU)]
     best = min(legs, key=lambda r: r["crawl"]["sec"])
+    # machine-state flag: identical-code legs have measured 74 vs 28 s on
+    # this VM under neighbor load (STATS.md r3) — record the leg spread so
+    # a future reader can tell session noise from a code regression
+    secs = sorted(l["crawl"]["sec"] for l in legs)
+    leg_spread = round(secs[-1] / max(secs[0], 1e-9), 3)
+    session = "noisy" if leg_spread > 1.25 else "quiet"
 
     _init_ray()
     _warm_page_cache()
@@ -259,6 +265,8 @@ def run_default() -> dict:
         "num_cpus": NCPU,
         "crawl": best["crawl"],
         "crawl_legs": [l["crawl"] for l in legs],
+        "leg_spread": leg_spread,
+        "session": session,
     }
 
 

@@ -166,11 +166,12 @@ def export_corpus(sf_dir: str, out_root: str, n_buckets: int = 16) -> pa.Table:
         # (the r2 verdict's scale-killer) — keep_ids are unique (one min
         # doc_id per content hash), so the semi join neither duplicates
         # nor drops survivors
-        from .queries import _join_width
+        from .queries import _join_width, _table_bytes
 
         ds = ds.join(
             keep_tbl.select_columns(["keep_id"]), join_type="left_semi",
-            num_partitions=_join_width(), on=("doc_id",), right_on=("keep_id",),
+            num_partitions=_join_width(_table_bytes(sf_dir, "documents")),
+            on=("doc_id",), right_on=("keep_id",),
         )
         tmps = {
             b: table_store.begin_round(out_root, _bucket_name(b), 0)

@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import hashlib
 import logging
+import math
+import os
 import re
 
 import numpy as np
@@ -101,17 +103,35 @@ def _log_dropped(dropped: list, ctx: str) -> None:
         )
 
 
-def _join_width(frac: float = 1.0, lo: int = 4, hi: int = 256) -> int:
+def _join_width(est_bytes: int | None = None, frac: float = 1.0,
+                lo: int = 4, hi: int = 256,
+                bytes_per_partition: int = 16 << 20) -> int:
     """Hash-join / shuffle partition count derived from the cluster CPU
-    count, like _pool_size does for actor pools. A literal 4/8/16 (the r3
-    shape) is fine at sf0.1 but starves the shuffle on a wide cluster —
-    one partition per core keeps every reducer busy, and the hi clamp
-    keeps tiny test inputs from fragmenting into empty blocks."""
+    count AND the input size, like _pool_size does for actor pools. A
+    literal 4/8/16 (the r3 shape) starves the shuffle on a wide cluster —
+    but pure cpu-derived width over-fragments small inputs: per-partition
+    fixed costs made the sf0.1 join suite ~1.7x slower at width 32 than 8
+    (measured A/B, STATS.md r4). So: one partition per core, capped at
+    ~16 MB of (compressed parquet) input bytes per partition when the
+    caller can estimate them cheaply (file sizes / materialized
+    size_bytes / pa.Table.nbytes — never size_bytes() of a derived lazy
+    dataset, which would trigger execution)."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:  # not initialised yet (import-time callers)
         cpus = 4
-    return max(lo, min(hi, int(cpus * frac)))
+    width = max(lo, min(hi, int(cpus * frac)))
+    if est_bytes:
+        width = max(lo, min(width, math.ceil(est_bytes / bytes_per_partition)))
+    return width
+
+
+def _table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of one input table — the cheap join-width estimate."""
+    try:
+        return os.path.getsize(_p(sf_dir, name))
+    except OSError:
+        return 0
 
 
 def _pool_size(frac: float = 0.5, lo: int = 1) -> tuple[int, int]:
@@ -394,7 +414,9 @@ def q_anti_join_bloom(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True,
     )
     kept = positives.join(
-        li_keys, join_type="left_anti", num_partitions=_join_width(),
+        li_keys, join_type="left_anti",
+        num_partitions=_join_width(_table_bytes(sf_dir, "orders")
+                                   + _table_bytes(sf_dir, "lineitem")),
         on=("o_orderkey",), right_on=("l_orderkey",),
     ).select_columns(["o_orderkey", "o_custkey"])
     return negatives.union(kept)
@@ -841,8 +863,14 @@ def q_minhash_lsh_pairs(sf_dir: str):
              "doc_b": pa.array(arr[bi], pa.int64())}
         )
 
+    # compact the filtered sliver before the group shuffle: the is_in
+    # filter leaves ~128 near-empty blocks whose per-block sort fan-out
+    # dominates at test scale (measured 2.4 s -> 1.4 s); width derives
+    # from the EXACT hot-row count the counts aggregate already knows
+    n_hot_rows = sum(r["n"] for r in hot_counts)
     partials = (
         bands.map_batches(in_hot, batch_format="pyarrow")
+        .repartition(_join_width(n_hot_rows * 64))
         .groupby("bucket")
         .map_groups(emit_pairs, batch_format="pyarrow")
         .take_all()  # bounded: capped per-bucket pairs == output order
@@ -1195,8 +1223,12 @@ def q_embedding_near_dup(sf_dir: str):
              "vec_b": pa.array(ids[bi][m], pa.int64())}
         )
 
+    # compact the filtered sliver before the group shuffle (see
+    # minhash_lsh_pairs); embedding rows carry the vector (~600 B/row)
+    n_hot_rows = sum(r["n"] for r in hot_counts)
     partials = (
         coded.map_batches(in_hot, batch_format="pyarrow")
+        .repartition(_join_width(n_hot_rows * 600))
         .groupby("bucket")
         .map_groups(emit_pairs, batch_format="pyarrow")
         .take_all()  # bounded: verified pairs only (multi-table dups merged)
@@ -1592,8 +1624,12 @@ def q_images_phash_pairs(sf_dir: str):
             }
         )
 
+    # compact the filtered sliver before the group shuffle (see
+    # minhash_lsh_pairs)
+    n_hot_rows = sum(r["n"] for r in hot_counts)
     partials = (
         banded.map_batches(in_hot, batch_format="pyarrow")
+        .repartition(_join_width(n_hot_rows * 64))
         .groupby("bucket")
         .map_groups(emit_pairs, batch_format="pyarrow")
         .take_all()  # bounded: verified pairs == output order
@@ -1881,7 +1917,8 @@ def q_dedup_documents(sf_dir: str):
     keep = groups.select_columns(["keep_id"])
     ds = _with_clones(_read(sf_dir, "documents", columns=["doc_id", "text"]), sf_dir)
     return ds.join(
-        keep, join_type="left_semi", num_partitions=_join_width(),
+        keep, join_type="left_semi",
+        num_partitions=_join_width(_table_bytes(sf_dir, "documents")),
         on=("doc_id",), right_on=("keep_id",),
     )
 
@@ -3026,7 +3063,9 @@ def q_partitioned_join(sf_dir: str):
     li_partial = li.map_batches(partial_rev, batch_format="pyarrow",
                                 zero_copy_batch=True)
     joined = orders.join(
-        li_partial, join_type="inner", num_partitions=_join_width(),
+        li_partial, join_type="inner",
+        num_partitions=_join_width(_table_bytes(sf_dir, "orders")
+                                   + _table_bytes(sf_dir, "lineitem")),
         on=("o_orderkey",), right_on=("l_orderkey",),
     )
 
@@ -3142,9 +3181,10 @@ def _propagate_components(a: np.ndarray, b: np.ndarray):
             {"node": batch.column("node"), "label": batch.column("parent")}
         )
 
-    # per-superstep join width scales with the cluster (candidate-graph
-    # tables are smaller than the corpus, so half a partition per core)
-    width = _join_width(0.5)
+    # per-superstep join width scales with the cluster, capped by the
+    # (in-memory Arrow) edge-table size — candidate graphs are far
+    # smaller than the corpus
+    width = _join_width(edges_t.nbytes, frac=0.5)
 
     while True:
         prop = edges.join(
