@@ -280,9 +280,14 @@ def read_all_arrow_round(root: str, name: str, round_id: int) -> pa.Table:
     return pa.concat_tables(tables, promote_options="default")
 
 
-def read_all_arrow(root: str, name: str) -> pa.Table:
-    """All committed rounds as one in-memory Arrow table (small/test use)."""
-    tables = [WRITERS[wname].read(p) for wname, p in _part_paths(root, name)]
+def read_all_arrow(root: str, name: str,
+                   columns: list[str] | None = None) -> pa.Table:
+    """All committed rounds as one in-memory Arrow table (small/test use;
+    pass ``columns`` to prune heavy payloads like html at the read)."""
+    tables = [
+        WRITERS[wname].read(p, columns=columns)
+        for wname, p in _part_paths(root, name)
+    ]
     if not tables:
         return pa.table({})
     return pa.concat_tables(tables, promote_options="default")

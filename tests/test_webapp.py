@@ -1,0 +1,92 @@
+"""Webapp surface (webapp/main.go analog): status page counts vs the
+crawl's own tables, the search endpoint's relevance + <strong>
+highlights, and add-site feeding a LIVE crawler (the NATS fetch-queue
+publish analog) — all exercised over real HTTP against the served app."""
+
+import shutil
+import urllib.error
+import urllib.request
+
+import pytest
+
+from owlcrawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+from owlcrawler_ray.sources.corpus import WebConfig
+from owlcrawler_ray.webapp import CrawlWebApp
+
+SMALL_WEB = WebConfig(num_hosts=4, base_pages=6, hot_factor=3, n_seed_hosts=2)
+
+
+@pytest.fixture(scope="module")
+def crawl_out(ray_session, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("webapp"))
+    shutil.rmtree(base, ignore_errors=True)
+    cfg = CrawlConfig(
+        web=SMALL_WEB, budget_per_round=64,
+        out_dir=f"{base}/out", ckpt_dir=f"{base}/ckpt",
+        fetch_concurrency=2, image_concurrency=1,
+    )
+    c, _ = run_crawl(cfg)
+    yield c, cfg.out_dir
+    c.shutdown()
+
+
+def _get(url: str) -> str:
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.read().decode("utf-8")
+
+
+def test_webapp_status_search_addsite(crawl_out):
+    crawler, out_dir = crawl_out
+    app = CrawlWebApp(out_dir, crawler=crawler)
+    srv, _ = app.serve_background()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+
+        # status counts == the crawl's own tables (/ == /index-status)
+        n_pages = crawler.pages_table().num_rows
+        n_sites0 = crawler.sites_table().num_rows
+        body = _get(base + "/")
+        assert f"Fetched pages: {n_pages}" in body
+        assert f"Parsed pages: {n_pages}" in body  # every 200 page parses
+        assert f"Sites: {n_sites0}" in body
+
+        # search: corpus words score + highlight with real <strong> tags
+        body = _get(base + "/index?term=owl+crawler")
+        assert "<strong>owl</strong>" in body or "<strong>crawler</strong>" in body
+        assert "score" in body
+        s = app.search("owl crawler")
+        assert 0 < len(s) <= 10
+        scores = [h["score"] for h in s]
+        assert scores == sorted(scores, reverse=True)
+        # phrase boost: a page containing the exact bigram outranks tf-only
+        assert all("<strong>" in h["highlight"] for h in s)
+
+        # empty / no-hit terms
+        assert app.search("") == []
+        assert app.search("zzzznotaword") == []
+
+        # add-site against the LIVE crawler: site- doc persisted
+        body = _get(base + "/add-site?url=http://host-3.test/")
+        assert "Site submitted" in body
+        assert crawler.sites_table().num_rows == n_sites0 + 1
+        body = _get(base + "/")
+        assert f"Sites: {n_sites0 + 1}" in body
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(base + "/nope")
+        assert e.value.code == 404
+    finally:
+        srv.shutdown()
+
+
+def test_webapp_detached_addsite_journal(tmp_path):
+    """Without a live crawler the submission journals to
+    submitted-sites.txt — the next `--resume --add-site` run's input."""
+    out = str(tmp_path / "empty_out")
+    app = CrawlWebApp(out)
+    assert app.add_site("http://host-1.test/") == "Site submitted"
+    assert app.add_site("") == "no url given"
+    with open(f"{out}/submitted-sites.txt") as f:
+        assert f.read() == "http://host-1.test/\n"
+    # stats over an empty/missing store must serve zeros, not crash
+    assert app.stats() == {"fetched": 0, "parsed": 0, "sites": 0}
