@@ -3945,6 +3945,56 @@ ORACLES["doc_fingerprints"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# percentile outlier filter — corpus cleaning by exact global quantile
+# ---------------------------------------------------------------------------
+
+def q_length_outliers(sf_dir: str):
+    """Percentile outlier filter — the corpus-cleaning step that drops
+    the pathological length tail before training: keep docs with n_chars
+    STRICTLY above the exact global P95.
+
+    The exact quantile of a 100-TB corpus comes from a (value, count)
+    histogram: per-batch count partials -> one tiny groupby over the
+    DISTINCT lengths (bounded — lengths, not rows, cross the wire) ->
+    the driver walks the cumulative histogram with the same
+    ceil(q*n)-1 selection rule as lang_length_quantiles (== DuckDB
+    quantile_disc, integer-exact) -> the scalar threshold broadcasts
+    into a vectorized filter scan. No sort, no row exchange."""
+    num, den = 19, 20  # P95 as a rational, like lang_length_quantiles
+
+    hist_src = _read(sf_dir, "documents", columns=["n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"v": batch.column("n_chars")})
+        return (
+            t.group_by("v").aggregate([([], "count_all")])
+            .rename_columns(["v", "n_p"])
+        )
+
+    hist = (
+        hist_src.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("v").aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()  # distinct length values only
+        .sort_values("v")
+    )
+    cum = hist["n"].to_numpy().cumsum()
+    n = int(cum[-1])
+    target = (num * n + den - 1) // den  # ceil(q*n)
+    thr = int(hist["v"].to_numpy()[int(np.searchsorted(cum, target))])
+    return _read(
+        sf_dir, "documents", columns=["doc_id", "n_chars", "lang"]
+    ).filter(expr=f"n_chars > {thr}")
+
+
+QUERIES["length_outliers"] = q_length_outliers
+ORACLES["length_outliers"] = """
+    SELECT doc_id, n_chars, lang FROM documents
+    WHERE n_chars > (SELECT quantile_disc(n_chars, 0.95) FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver scoreboard ordering
 # ---------------------------------------------------------------------------
 
