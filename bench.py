@@ -85,6 +85,9 @@ BENCH_QUERIES = [
     "normalize_text",
     "top_terms_per_doc",
     "users_per_event_type",
+    "length_outliers",
+    "decontaminate",
+    "gopher_repetition",
 ]
 
 
