@@ -746,6 +746,52 @@ def _minhash_sig(text: str) -> list[str]:
     return sig
 
 
+def _sig_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized replica of _minhash_sig over a whole batch (the hot
+    stage of the LSH family): word shingles come from the shared Arrow
+    kernel (_word_ngrams), and md5 runs over the batch's UNIQUE shingles
+    only (dictionary encode) — the shingle space is far smaller than the
+    instance count on real corpora, so this cuts the dominant md5 cost by
+    the instance/unique ratio. Per-doc minima are one numpy scatter-min;
+    min over uint32 == lexicographic min over the fixed-width hex the
+    oracle compares. Equivalence with the per-doc reference is pinned by
+    tests/test_rows_only_ops.py::test_sig_batch_matches_reference."""
+    ids = batch.column("doc_id").to_numpy()
+    texts = batch.column("text")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    pos, grams, counts = _word_ngrams(texts, 3)
+    short = np.nonzero(counts < 3)[0]
+    if len(short):
+        pos = np.concatenate([pos, short])
+        grams = pa.concat_arrays(
+            [grams,
+             pa.array([" ".join((texts[i].as_py() or "").split(" ")[:3])
+                       for i in short], pa.string())])
+    dct = grams.dictionary_encode()
+    idx = dct.indices.to_numpy()
+    mat = np.empty((len(dct.dictionary), 8), dtype=np.uint32)
+    for u_i, s in enumerate(dct.dictionary.to_pylist()):
+        b = s.encode()
+        mat[u_i] = np.frombuffer(
+            hashlib.md5(b"0|" + b).digest()
+            + hashlib.md5(b"1|" + b).digest(), dtype=">u4")
+    sig = np.full((len(ids), 8), 0xFFFFFFFF, dtype=np.uint32)
+    if len(pos):
+        np.minimum.at(sig, pos, mat[idx])
+    return pa.table(
+        {
+            "doc_id": pa.array(np.repeat(ids, 8), type=pa.int64()),
+            "band_id": pa.array(
+                np.tile(np.arange(8, dtype=np.int32), len(ids)),
+                type=pa.int32()),
+            "band_hash": pa.array(
+                [format(int(x), "08x") for x in sig.ravel()],
+                type=pa.string()),
+        }
+    )
+
+
 def _near_clone_union(sf_dir: str):
     """documents plus per-doc perturbed clones (doc_id<25: text || suffix)
     so near-dup pairs exist deterministically in BOTH engines."""
@@ -776,28 +822,12 @@ def q_minhash_lsh_pairs(sf_dir: str):
     assembly itself runs task-side in map_groups, never on the driver."""
     ds = _near_clone_union(sf_dir)
 
-    def sig_batch(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        rows_id, rows_band, rows_hash = [], [], []
-        for did, text in zip(ids, batch.column("text").to_pylist()):
-            for band, mh in enumerate(_minhash_sig(text)):
-                rows_id.append(did)
-                rows_band.append(band)
-                rows_hash.append(mh)
-        return pa.table(
-            {
-                "doc_id": pa.array(rows_id, type=pa.int64()),
-                "band_id": pa.array(rows_band, type=pa.int32()),
-                "band_hash": pa.array(rows_hash, type=pa.string()),
-            }
-        )
-
     # materialize the signature table: it is consumed twice (bucket counts,
     # then hot filter) and recomputing it doubles the md5 shingle work —
     # the dominant cost (measured). Signatures are ~100 B/doc vs multi-KB
     # docs, so holding them in the (spillable) object store is the
     # scale-correct trade even at 10^10 docs.
-    bands = ds.map_batches(sig_batch, batch_format="pyarrow").materialize()
+    bands = ds.map_batches(_sig_batch, batch_format="pyarrow").materialize()
 
     def bucket_partial(batch: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(

@@ -537,3 +537,33 @@ def test_image_dup_clusters_vs_duckdb_recursive_cte(ray_session, tmp_path):
     want = want.sort_values("image_id").reset_index(drop=True)
     assert got["image_id"].tolist() == want["image_id"].tolist()
     assert got["cluster"].tolist() == want["cluster"].tolist()
+
+
+def test_sig_batch_matches_reference():
+    """The vectorized batch minhash (unique-shingle md5 + scatter-min)
+    must be value-identical to the per-doc reference _minhash_sig,
+    including the short-doc clipped-shingle rule and empty text."""
+    import pyarrow as pa
+
+    from owlcrawler_ray.pipelines import queries as Q
+
+    texts = [
+        "the fast key order sort table scan merge part window",
+        "one two",          # 2 words -> one clipped 2-word shingle
+        "solo",             # 1 word
+        "",                 # empty text -> shingle ""
+        "a b c a b c a b c",  # heavy shingle repetition
+    ]
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    got = Q._sig_batch(batch)
+    by_doc = {}
+    for r in got.to_pylist():
+        by_doc.setdefault(r["doc_id"], {})[r["band_id"]] = r["band_hash"]
+    for did, text in enumerate(texts):
+        want = Q._minhash_sig(text)
+        assert [by_doc[did][b] for b in range(len(want))] == want, (
+            f"doc {did!r} ({text!r}) signature diverged"
+        )
