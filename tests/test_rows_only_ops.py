@@ -567,3 +567,34 @@ def test_sig_batch_matches_reference():
         assert [by_doc[did][b] for b in range(len(want))] == want, (
             f"doc {did!r} ({text!r}) signature diverged"
         )
+
+
+def test_word_ngrams_property_matches_naive():
+    """_word_ngrams (the shared Arrow n-gram kernel under minhash,
+    decontamination and the repetition filter) must equal the naive
+    per-row sliding window for arbitrary word lists — including empty
+    words from repeated separators, single-word rows, and empty text."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import pyarrow as pa
+
+    from owlcrawler_ray.pipelines.queries import _word_ngrams
+
+    word = st.text(alphabet="abc", min_size=0, max_size=3)
+    row = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @settings(max_examples=100, deadline=None, derandomize=True)
+    @given(st.lists(row, min_size=0, max_size=6), st.sampled_from([2, 3]))
+    def check(texts, n):
+        pos, grams, counts = _word_ngrams(pa.array(texts, pa.string()), n)
+        got = {}
+        for p, g in zip(pos.tolist(), grams.to_pylist()):
+            got.setdefault(p, []).append(g)
+        for i, t in enumerate(texts):
+            ws = t.split(" ")
+            assert counts[i] == len(ws)
+            want = [" ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)]
+            assert got.get(i, []) == want, (texts, n, i)
+        assert set(got) <= set(range(len(texts)))
+
+    check()
