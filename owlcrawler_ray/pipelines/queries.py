@@ -4042,8 +4042,11 @@ def _word_ngrams(texts, n: int):
     words = pc.split_pattern(texts, " ")
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
-    vals = words.values
-    offs = np.asarray(words.offsets)
+    offs = np.asarray(words.offsets, dtype=np.int64)
+    # a sliced ListArray's .values is NOT rebased to the slice — rebase
+    # explicitly so the flat-position math below holds for any input
+    vals = words.values.slice(offs[0], offs[-1] - offs[0])
+    offs = offs - offs[0]
     counts = np.diff(offs)
     total = len(vals)
     if total < n:
