@@ -161,17 +161,17 @@ def export_corpus(sf_dir: str, out_root: str, n_buckets: int = 16) -> pa.Table:
             ds.map_batches(keep_partial, batch_format="pyarrow")
             .groupby("h").aggregate(Min("keep_p", alias_name="keep_id"))
         )
-        # the keep-id set stays a DATASET: hash-partitioned LEFT SEMI join
-        # instead of an O(distinct-docs) np.unique array on the driver
-        # (the r2 verdict's scale-killer) — keep_ids are unique (one min
-        # doc_id per content hash), so the semi join neither duplicates
-        # nor drops survivors
-        from .queries import _join_width, _table_bytes
+        # adaptive semi-join (see queries._semi_filter): keep_ids are
+        # unique (one min doc_id per content hash) and number at most the
+        # footer row count, so small corpora broadcast + pc.is_in (zero
+        # shuffle) and 10^10-doc corpora take the hash-partitioned LEFT
+        # SEMI join — the keep side never lands on the driver there
+        from .queries import _semi_filter, _table_bytes, _table_rows
 
-        ds = ds.join(
-            keep_tbl.select_columns(["keep_id"]), join_type="left_semi",
-            num_partitions=_join_width(_table_bytes(sf_dir, "documents")),
-            on=("doc_id",), right_on=("keep_id",),
+        ds = _semi_filter(
+            ds, keep_tbl.select_columns(["keep_id"]), "doc_id", "keep_id",
+            est_keep_bytes=16 * _table_rows(sf_dir, "documents"),
+            shuffle_bytes=_table_bytes(sf_dir, "documents"),
         )
         tmps = {
             b: table_store.begin_round(out_root, _bucket_name(b), 0)

@@ -598,3 +598,23 @@ def test_word_ngrams_property_matches_naive():
         assert set(got) <= set(range(len(texts)))
 
     check()
+
+
+def test_semi_filter_paths_agree(ray_session, monkeypatch):
+    """The adaptive semi-join's two paths (broadcast pc.is_in vs
+    hash-partitioned LEFT SEMI Dataset.join) must be value-identical —
+    dedup_documents run once with each path forced."""
+    from owlcrawler_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+
+    monkeypatch.setattr(Q, "BROADCAST_SEMI_BYTES", 1 << 60)
+    bc = Q.QUERIES["dedup_documents"](sf).to_pandas()
+    monkeypatch.setattr(Q, "BROADCAST_SEMI_BYTES", 0)
+    jn = Q.QUERIES["dedup_documents"](sf).to_pandas()
+
+    key = ["doc_id", "text"]
+    bc = bc[key].sort_values(key).reset_index(drop=True)
+    jn = jn[key].sort_values(key).reset_index(drop=True)
+    assert bc.equals(jn)
+    assert len(bc) > 0
