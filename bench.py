@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "length_outliers",
     "decontaminate",
     "gopher_repetition",
+    "semantic_dedup",
+    "sequence_packing",
+    "pii_scrub",
 ]
 
 

@@ -4271,6 +4271,216 @@ ORACLES["gopher_repetition"] = """
 
 
 # ---------------------------------------------------------------------------
+# semantic dedup (embedding family keep-set materialization)
+# ---------------------------------------------------------------------------
+
+def q_semantic_dedup(sf_dir: str):
+    """Semantic-dedup OUTPUT stage for the embedding family — the kept
+    corpus itself, mirroring what dedup_documents is to exact_dedup: a
+    vector survives unless it has a lower-id cosine>0.999 neighbour
+    (i.e. it appears as vec_b in the LSH-verified pair table).
+
+    Scale shape: the pair table is the bounded OUTPUT of the banded LSH
+    pipeline (O(near-dup pairs), not O(corpus)); its vec_b column
+    broadcasts once via ray.put and the clone-union stream is filtered
+    with one inverted pc.is_in pass — zero additional shuffle beyond
+    what the pair pipeline already paid. At 10^10 rows the drop set is
+    O(duplicates); if duplicates themselves outgrow a broadcast object
+    the same _semi_filter fallback used by dedup_documents applies."""
+    pairs = q_embedding_near_dup(sf_dir)  # pa.Table (vec_a < vec_b), bounded
+    drops = pc.unique(pairs.column("vec_b"))
+    drop_ref = ray.put(drops)
+
+    base = _read(sf_dir, "embeddings", columns=["vec_id", "label"])
+    clones = _read(sf_dir, "embeddings", columns=["vec_id", "label"]).filter(
+        expr="vec_id < 20"
+    ).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(t.column("vec_id"), 10000),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ds_ = ray.get(drop_ref)
+        mask = pc.invert(pc.is_in(batch.column("vec_id"), value_set=ds_))
+        return batch.filter(mask)
+
+    return base.union(clones).map_batches(keep, batch_format="pyarrow")
+
+
+QUERIES["semantic_dedup"] = q_semantic_dedup
+ORACLES["semantic_dedup"] = """
+    WITH emb AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 20
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.999
+    ),
+    base AS (
+        SELECT vec_id, label FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000, label FROM embeddings WHERE vec_id < 20
+    )
+    SELECT vec_id, label FROM base
+    WHERE vec_id NOT IN (SELECT vec_b FROM pairs)
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing — fixed-token-budget bin assembly for training batches
+# ---------------------------------------------------------------------------
+
+def q_sequence_packing(sf_dir: str):
+    """Greedy sequence packing — the training-prep step that concatenates
+    documents into fixed-budget token bins (budget 256 whitespace tokens,
+    docs clipped at the budget). Packing is sequential by doc_id WITHIN a
+    partition (part = doc_id // 128): a doc opens a new bin when it would
+    overflow the current one. Output: (doc_id, part, bin_id, n_tokens).
+
+    Scale shape: tokens come from one vectorized Arrow pass
+    (split_pattern + list_value_length — the text never becomes Python
+    rows); the only shuffle is the groupby on the contiguous-range part
+    key. Within a group, bin boundaries are found with O(bins)
+    searchsorted jumps over the token cumsum, not a per-doc Python walk;
+    the partition bound (128 docs) caps group skew by construction.
+    Packing is embarrassingly parallel across partitions — exactly how a
+    100-TB corpus would pack per input shard."""
+    part_size, budget = 128, 256
+    src = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tokify(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.list_value_length(pc.split_pattern(batch.column("text"), " ")),
+            pa.int64(),
+        )
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "part": pc.divide(batch.column("doc_id"), part_size),
+            "n_tokens": pc.min_element_wise(n, budget),
+        })
+
+    def pack(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        toks = g.column("n_tokens").to_numpy()[order]
+        csum = np.concatenate([[0], np.cumsum(toks)])
+        bin_id = np.empty(len(ids), np.int64)
+        i, b = 0, 0
+        while i < len(ids):
+            # furthest j with sum(toks[i:j]) <= budget; toks <= budget
+            # guarantees j > i, so every doc lands in exactly one bin
+            j = int(np.searchsorted(csum, csum[i] + budget, side="right")) - 1
+            bin_id[i:j] = b
+            b += 1
+            i = j
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "part": g.column("part").take(pa.array(order)),
+            "bin_id": pa.array(bin_id),
+            "n_tokens": pa.array(toks, pa.int64()),
+        })
+
+    return (
+        src.map_batches(tokify, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(pack, batch_format="pyarrow")
+    )
+
+
+QUERIES["sequence_packing"] = q_sequence_packing
+ORACLES["sequence_packing"] = """
+    WITH RECURSIVE docs AS (
+        SELECT doc_id, doc_id // 128 AS part,
+               least(len(str_split(text, ' ')), 256) AS n_tokens,
+               row_number() OVER (
+                   PARTITION BY doc_id // 128 ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    packed AS (
+        SELECT part, doc_id, rn, n_tokens, n_tokens AS fill,
+               CAST(0 AS BIGINT) AS bin_id
+        FROM docs WHERE rn = 1
+        UNION ALL
+        SELECT d.part, d.doc_id, d.rn, d.n_tokens,
+               CASE WHEN p.fill + d.n_tokens > 256
+                    THEN d.n_tokens ELSE p.fill + d.n_tokens END,
+               CASE WHEN p.fill + d.n_tokens > 256
+                    THEN p.bin_id + 1 ELSE p.bin_id END
+        FROM docs d JOIN packed p ON d.part = p.part AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, CAST(part AS BIGINT) AS part, bin_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM packed
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrub — regex redaction pass
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_NUM = r"[0-9]+"
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII redaction — the pre-training scrub pass: replace email-shaped
+    tokens then digit runs with typed placeholders, emitting the cleaned
+    text plus the redaction count (the synthetic corpus only exercises
+    the digit-run class — over events.props, the one free-text-ish JSON
+    column — but both kernels run on every row).
+
+    Scale shape: one stateless map_batches; both the count and the
+    replacement are RE2-backed Arrow kernels (count_substring_regex /
+    replace_substring_regex), so no Python string loop and no shuffle —
+    the canonical 100-TB text-scrub shape. DuckDB's regexp engine is
+    also RE2, so the oracle is bit-identical by construction."""
+    src = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        p = batch.column("props")
+        n_mail = pc.count_substring_regex(p, _PII_EMAIL)
+        p1 = pc.replace_substring_regex(p, _PII_EMAIL, "<EMAIL>")
+        n_num = pc.count_substring_regex(p1, _PII_NUM)
+        p2 = pc.replace_substring_regex(p1, _PII_NUM, "<NUM>")
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "clean_props": p2,
+            "n_redacted": pc.cast(pc.add(n_mail, n_num), pa.int64()),
+        })
+
+    return src.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["pii_scrub"] = q_pii_scrub
+ORACLES["pii_scrub"] = r"""
+    SELECT event_id,
+           regexp_replace(
+               regexp_replace(
+                   props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               '[0-9]+', '<NUM>', 'g') AS clean_props,
+           CAST(
+               len(regexp_extract_all(
+                   props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               + len(regexp_extract_all(
+                   regexp_replace(
+                       props,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '[0-9]+'))
+           AS BIGINT) AS n_redacted
+    FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver scoreboard ordering
 # ---------------------------------------------------------------------------
 
