@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "gopher_repetition",
     "semantic_dedup",
+    "near_dup_dedup",
     "sequence_packing",
     "pii_scrub",
 ]

@@ -3341,10 +3341,9 @@ QUERIES["image_dup_clusters"] = q_image_dup_clusters
 QUERIES["near_dup_components"] = q_near_dup_components
 # recursive-CTE oracle over the same candidate graph: reach = transitive
 # closure, component = min reachable node (RECURSIVE prefixes the shared
-# minhash CTE chain; DuckDB applies it only to the recursing CTE)
-ORACLES["near_dup_components"] = _MINHASH_CTES.replace(
-    "WITH base", "WITH RECURSIVE base", 1
-) + """
+# minhash CTE chain; DuckDB applies it only to the recursing CTE). The
+# suffix is shared with near_dup_dedup's keep-set oracle.
+_COMPONENT_CTES = """
     , cand AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a
@@ -3360,9 +3359,55 @@ ORACLES["near_dup_components"] = _MINHASH_CTES.replace(
         SELECT a, a FROM edges
         UNION
         SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r
+    ),
+    comp AS (
+        SELECT node, CAST(min(r) AS BIGINT) AS component
+        FROM reach GROUP BY node
     )
-    SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component
-    FROM reach GROUP BY node
+"""
+ORACLES["near_dup_components"] = _MINHASH_CTES.replace(
+    "WITH base", "WITH RECURSIVE base", 1
+) + _COMPONENT_CTES + """
+    SELECT node AS doc_id, component FROM comp
+"""
+
+
+def q_near_dup_dedup(sf_dir: str):
+    """The MinHash family's OUTPUT stage — the kept corpus after
+    component clustering (one canonical doc per near-dup cluster, the
+    min-doc_id representative), completing the symmetry exact_dedup ->
+    dedup_documents and embedding_near_dup -> semantic_dedup.
+
+    Scale shape: the drop set is the clustered candidate table filtered
+    to non-representatives — O(near-dups), far smaller than the corpus —
+    so it broadcasts once and the clone-union stream takes one inverted
+    pc.is_in pass; the heavy lifting (banded LSH + BSP components)
+    already happened in distributed form upstream."""
+    comp = q_near_dup_components(sf_dir)  # Dataset (doc_id, component)
+    drops_ds = comp.filter(expr="component < doc_id").select_columns(["doc_id"])
+    # empty Ray blocks carry an EMPTY schema (the repo-wide gotcha) — drop
+    # them before concat; the all-empty case degrades to an empty value set
+    blocks = [t for t in ray.get(drops_ds.to_arrow_refs()) if t.num_columns]
+    drop_ids = (
+        pa.concat_tables(blocks).column("doc_id").combine_chunks()
+        if blocks else pa.array([], pa.int64())
+    )
+    ref = ray.put(drop_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ds_ = ray.get(ref)
+        return batch.filter(
+            pc.invert(pc.is_in(batch.column("doc_id"), value_set=ds_)))
+
+    return _near_clone_union(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+
+QUERIES["near_dup_dedup"] = q_near_dup_dedup
+ORACLES["near_dup_dedup"] = _MINHASH_CTES.replace(
+    "WITH base", "WITH RECURSIVE base", 1
+) + _COMPONENT_CTES + """
+    SELECT u.doc_id, u.text FROM base u
+    WHERE u.doc_id NOT IN (SELECT node FROM comp WHERE component < node)
 """
 
 
@@ -4336,6 +4381,25 @@ ORACLES["semantic_dedup"] = """
 # sequence packing — fixed-token-budget bin assembly for training batches
 # ---------------------------------------------------------------------------
 
+def _greedy_bins(toks: np.ndarray, budget: int) -> np.ndarray:
+    """Greedy sequential packing over already-ordered token counts (each
+    <= budget): doc i opens a new bin iff it would overflow the current
+    one. Bin boundaries are found with O(bins) searchsorted jumps over
+    the token cumsum rather than a per-doc walk; toks <= budget
+    guarantees every jump advances, so every doc lands in exactly one
+    bin. Property-tested against the naive one-doc-at-a-time rule in
+    tests/test_rows_only_ops.py."""
+    csum = np.concatenate([[0], np.cumsum(toks)])
+    bin_id = np.empty(len(toks), np.int64)
+    i, b = 0, 0
+    while i < len(toks):
+        j = int(np.searchsorted(csum, csum[i] + budget, side="right")) - 1
+        bin_id[i:j] = b
+        b += 1
+        i = j
+    return bin_id
+
+
 def q_sequence_packing(sf_dir: str):
     """Greedy sequence packing — the training-prep step that concatenates
     documents into fixed-budget token bins (budget 256 whitespace tokens,
@@ -4370,16 +4434,7 @@ def q_sequence_packing(sf_dir: str):
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         toks = g.column("n_tokens").to_numpy()[order]
-        csum = np.concatenate([[0], np.cumsum(toks)])
-        bin_id = np.empty(len(ids), np.int64)
-        i, b = 0, 0
-        while i < len(ids):
-            # furthest j with sum(toks[i:j]) <= budget; toks <= budget
-            # guarantees j > i, so every doc lands in exactly one bin
-            j = int(np.searchsorted(csum, csum[i] + budget, side="right")) - 1
-            bin_id[i:j] = b
-            b += 1
-            i = j
+        bin_id = _greedy_bins(toks, budget)
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "part": g.column("part").take(pa.array(order)),

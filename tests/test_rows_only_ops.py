@@ -618,3 +618,50 @@ def test_semi_filter_paths_agree(ray_session, monkeypatch):
     jn = jn[key].sort_values(key).reset_index(drop=True)
     assert bc.equals(jn)
     assert len(bc) > 0
+
+
+def test_greedy_bins_property_matches_naive():
+    """_greedy_bins (the searchsorted-jump packer under sequence_packing)
+    must equal the naive one-doc-at-a-time greedy rule — and satisfy the
+    packing invariants: bins are contiguous starting at 0, every bin sum
+    fits the budget, and each bin boundary is forced (adding the next doc
+    would overflow)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from owlcrawler_ray.pipelines.queries import _greedy_bins
+
+    @settings(max_examples=200, deadline=None, derandomize=True)
+    @given(st.integers(min_value=1, max_value=64).flatmap(
+        lambda budget: st.tuples(
+            st.just(budget),
+            st.lists(st.integers(min_value=1, max_value=budget),
+                     min_size=0, max_size=40),
+        )
+    ))
+    def check(case):
+        budget, toks_l = case
+        toks = np.asarray(toks_l, dtype=np.int64)
+        got = _greedy_bins(toks, budget)
+        # naive sequential greedy
+        want, fill, b = [], 0, 0
+        for t in toks_l:
+            if fill + t > budget:
+                b += 1
+                fill = t
+            else:
+                fill += t
+            want.append(b)
+        assert got.tolist() == want, (budget, toks_l)
+        if len(toks_l):
+            assert got[0] == 0
+            assert set(np.diff(got).tolist()) <= {0, 1}
+            sums = np.bincount(got, weights=toks)
+            assert (sums <= budget).all()
+            # maximality: the first doc of bin b+1 would overflow bin b
+            starts = np.nonzero(np.diff(got) == 1)[0] + 1
+            for s in starts:
+                prev = int(sums[got[s] - 1])
+                assert prev + toks_l[s] > budget
+
+    check()
