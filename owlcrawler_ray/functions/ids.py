@@ -83,3 +83,19 @@ def url_hash64_many(urls) -> np.ndarray:
 
 def shard_of(urls, num_shards: int) -> np.ndarray:
     return (url_hash64_many(urls) % np.uint64(num_shards)).astype(np.int64)
+
+
+def int_hash64_many(keys: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over integer keys -> uint64.
+
+    The NUMERIC-key companion to ``url_hash64_many``: that one loops
+    Python blake2b per string (fine at crawl-frontier rates, wrong for a
+    numeric probe column at table-scan rates). Used where both the build
+    and probe sides hash through the SAME function (bloom routing) — the
+    value is internal consistency + avalanche, not stability across
+    hash-function changes."""
+    with np.errstate(over="ignore"):
+        z = keys.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))

@@ -373,7 +373,7 @@ def q_anti_join_bloom(sf_dir: str):
     remain the tool for ORDERED mutable state (the crawl's seen set).
     Output is exact: negatives ∪ (positives ANTI build) — same oracle as
     the plain anti-join."""
-    from ..functions.ids import url_hash64_many
+    from ..functions.ids import int_hash64_many
     from ..state.seen import BloomFilter, bloom_bit_indices
 
     cap = pq.read_metadata(_p(sf_dir, "lineitem")).num_rows
@@ -385,10 +385,12 @@ def q_anti_join_bloom(sf_dir: str):
     span = m // n_shards  # m and n_shards are powers of two
 
     def bit_partial(batch: pa.Table) -> pa.Table:
-        keys = [str(x) for x in
-                pc.unique(batch.column("l_orderkey")).to_pylist()]
+        # numeric keys hash through the vectorized splitmix64 path — the
+        # old str()+blake2b loop was a per-row Python walk over the
+        # build table (the flagship operator's only non-vector kernel)
+        keys = pc.unique(batch.column("l_orderkey")).to_numpy()
         bits = np.unique(
-            bloom_bit_indices(url_hash64_many(keys), m, k).ravel()
+            bloom_bit_indices(int_hash64_many(keys), m, k).ravel()
         ).astype(np.int64)
         return pa.table(
             {"shard": (bits // span).astype(np.int32), "bit": bits}
@@ -424,9 +426,7 @@ def q_anti_join_bloom(sf_dir: str):
         b = BloomFilter.__new__(BloomFilter)
         b.m, b.k, b.bits = m, kk, bits
         probe = batch.column("o_orderkey").to_numpy()
-        hit = b.contains_many(
-            url_hash64_many([str(x) for x in probe.tolist()])
-        )
+        hit = b.contains_many(int_hash64_many(probe))
         return batch.append_column("hit", pa.array(hit))
 
     # ONE pass over the probe (read + hash once — r3 ran separate

@@ -160,9 +160,16 @@ def bloom_bit_indices(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
     h = hashes.astype(np.uint64)
     out = []
     h1 = h
-    h2 = h * np.uint64(0xFF51AFD7ED558CCD) + np.uint64(1)
-    for i in range(k):
-        out.append((h1 + np.uint64(i) * h2) & np.uint64(m - 1))
+    # the stride must draw on bits the (m-1) mask DOESN'T keep: deriving
+    # h2 from h's low bits makes every probe a function of log2(m) bits,
+    # so any low-bits collision with a member is a GUARANTEED false
+    # positive (measured ~10x the configured rate at m=2^17). High-32
+    # remix, forced odd -> full-period stride over power-of-two m and
+    # probes that depend on the whole 64-bit hash.
+    with np.errstate(over="ignore"):
+        h2 = (h >> np.uint64(32)) * np.uint64(0xFF51AFD7ED558CCD) | np.uint64(1)
+        for i in range(k):
+            out.append((h1 + np.uint64(i) * h2) & np.uint64(m - 1))
     return np.stack(out, axis=1)  # (n, k)
 
 

@@ -474,3 +474,28 @@ def test_cuckoo_filter_no_false_negatives_property():
                 ).all()
 
     run()
+
+
+def test_int_hash64_vectorized_bloom_roundtrip():
+    """int_hash64_many (the numeric splitmix64 path under
+    anti_join_bloom) must be deterministic, avalanche sequential keys
+    apart, and drive the bloom with no false negatives and a sane
+    false-positive rate."""
+    import numpy as np
+
+    from owlcrawler_ray.functions.ids import int_hash64_many
+
+    keys = np.arange(10_000, dtype=np.int64)
+    h1, h2 = int_hash64_many(keys), int_hash64_many(keys)
+    assert h1.dtype == np.uint64 and (h1 == h2).all()
+    # avalanche: sequential ints must not collide and must spread over
+    # the high bits (a multiplicative-only hash fails this)
+    assert len(np.unique(h1)) == len(keys)
+    assert len(np.unique(h1 >> np.uint64(48))) > 5_000
+
+    b = BloomFilter(10_000, fp_rate=0.01)
+    b.add_many(h1)
+    assert b.contains_many(h1).all()  # no false negatives
+    other = int_hash64_many(np.arange(50_000, 60_000, dtype=np.int64))
+    fp = b.contains_many(other).mean()
+    assert fp < 0.05, fp
