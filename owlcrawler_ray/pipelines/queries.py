@@ -68,11 +68,51 @@ def _clean_schema(path: str, columns=None) -> pa.Schema:
     return schema
 
 
+def _read_blocks(path: str, bytes_per_block: int = 4 << 20) -> int:
+    """Size-derived read block count: ~4 MB of compressed parquet per
+    block, capped at 4 blocks/cpu. Ray Data's default read parallelism
+    (~200) shreds a sub-MB table into a hundred near-empty blocks and
+    every downstream groupby/sort then pays per-block fan-out for no
+    parallelism gain (measured: the sf0.1 documents table read as 128
+    x 4.5 KB blocks; the minhash count-aggregate + pair tail spent ~2x
+    the whole corpus' single-core kernel time on block overhead). At
+    100-TB inputs the same formula yields one block per ~4 MB file
+    chunk — i.e. the cap never binds and reads stay wide."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    size = os.path.getsize(path)
+    return max(1, min(4 * cpus, math.ceil(size / bytes_per_block)))
+
+
 def _read(sf_dir: str, table: str, columns=None):
     path = _p(sf_dir, table)
     return rd.read_parquet(
-        path, columns=columns, schema=_clean_schema(path, columns)
+        path, columns=columns, schema=_clean_schema(path, columns),
+        override_num_blocks=_read_blocks(path),
     )
+
+
+def _widen(ds, path: str, width: int | None = None):
+    """Ensure a stage has at least ~2 blocks/cpu ahead of a WIDE-KEY Ray
+    aggregate (near-unique group keys, or per-group map_groups walks).
+    Ray Data's Aggregate parallelism equals its input block count and its
+    per-key machinery is Python-slow, so a 1-block input runs the whole
+    key space serially (measured: events_hourly 17.3 s at 1 block vs
+    1.6 s re-split to 64 — the partial map itself is 40 ms). No-op when
+    the size-derived read already yields that many blocks — i.e. at real
+    scale this repartition never runs and no extra all-to-all is paid;
+    it only reinflates parallelism that _read_blocks' small-file
+    compaction took away."""
+    if width is None:
+        try:
+            width = 2 * int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            width = 8
+    if _read_blocks(path) >= width:
+        return ds
+    return ds.repartition(width)
 
 
 _LOG = logging.getLogger("owlcrawler_ray.queries")
@@ -628,6 +668,7 @@ def q_filter_scan(sf_dir: str):
             "l_shipdate", "l_discount"]
     return rd.read_parquet(
         path, columns=cols, schema=_clean_schema(path, cols), filter=flt,
+        override_num_blocks=_read_blocks(path),
     ).select_columns(["l_orderkey", "l_linenumber", "l_quantity",
                       "l_extendedprice"])
 
@@ -680,7 +721,10 @@ def q_events_hourly(sf_dir: str):
         )
 
     agg = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        # wide-key aggregate ((user, hour) is near-unique, partials don't
+        # reduce) — re-split so the Aggregate runs cpu-wide (see _widen)
+        _widen(ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True), _p(sf_dir, "events"))
         .groupby(["user_id", "hour"])
         .aggregate(Sum("v_p", alias_name="sum_v"), Sum("n_p", alias_name="n_events"))
     )
@@ -2048,7 +2092,8 @@ def q_top_events_per_user(sf_dir: str):
         return g[["user_id", "rank", "event_id", "value"]]
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        _widen(ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True), _p(sf_dir, "events"))
         .groupby("user_id")
         .map_groups(merge, batch_format="pandas")
     )
@@ -2310,7 +2355,10 @@ def q_sessionization(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    # per-user map_groups over a wide user space — re-split ahead of the
+    # group shuffle (see _widen)
+    return _widen(ds, _p(sf_dir, "events")).groupby("user_id").map_groups(
+        sessions, batch_format="pandas")
 
 
 QUERIES["sessionization"] = q_sessionization
@@ -2358,7 +2406,8 @@ def q_events_sliding_3h(sf_dir: str):
         )
 
     hourly = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        _widen(ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True), _p(sf_dir, "events"))
         .groupby(["user_id", "hour"])
         .aggregate(Sum("v_p", alias_name="v_h"), Sum("n_p", alias_name="n_h"))
     )
@@ -3112,6 +3161,7 @@ def q_partitioned_join(sf_dir: str):
     orders = rd.read_parquet(
         _opath, columns=_ocols, schema=_clean_schema(_opath, _ocols),
         filter=(pc.field("o_orderpriority") == "1-URGENT"),
+        override_num_blocks=_read_blocks(_opath),
     ).select_columns(["o_orderkey"])
 
     li = _read(sf_dir, "lineitem",
