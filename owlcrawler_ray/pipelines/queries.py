@@ -3279,10 +3279,44 @@ def q_near_dup_components(sf_dir: str):
     return labels.map_batches(rename, batch_format="pyarrow")
 
 
-def _propagate_components(a: np.ndarray, b: np.ndarray):
-    """The shared BSP min-label + pointer-jumping loop over int64 edge
-    endpoints (see q_near_dup_components for the algorithm notes).
+def _propagate_components(a: np.ndarray, b: np.ndarray, force_bsp=False):
+    """The shared connected-components step over int64 edge endpoints.
+    Adaptive like _semi_filter: the edge list is ALREADY driver-resident
+    (it is the bounded OUTPUT of the LSH pair pipeline), so when it fits
+    the broadcast budget a union-find walks it in-place — each BSP
+    superstep costs two hash joins + an aggregate + two materializations
+    of fixed Ray overhead, which dominates toy-scale graphs ~10x
+    (measured: near_dup_dedup 18.3 s -> ~4 s at sf0.1). Beyond the
+    budget (pair tables that should never sit on one machine) the BSP
+    min-label + pointer-jumping loop below is the scale path — see
+    q_near_dup_components for its algorithm notes. Path equality is
+    pinned by tests/test_rows_only_ops.py::test_component_paths_agree.
     Returns a materialized Dataset of (node, label)."""
+    if not force_bsp and (a.nbytes + b.nbytes) <= BROADCAST_SEMI_BYTES:
+        nodes = np.unique(np.concatenate([a, b]))
+        parent = np.arange(len(nodes), dtype=np.int64)
+        ia = np.searchsorted(nodes, a)
+        ib = np.searchsorted(nodes, b)
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for x, y in zip(ia.tolist(), ib.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                # union by MIN root so labels match the BSP fixpoint
+                # (component id = min node id) without a second pass
+                lo, hi = (rx, ry) if rx < ry else (ry, rx)
+                parent[hi] = lo
+        labels = nodes[np.array([find(i) for i in range(len(nodes))])]
+        return rd.from_arrow(
+            pa.table({"node": pa.array(nodes), "label": pa.array(labels)})
+        ).materialize()
     edges_t = pa.concat_tables(
         [pa.table({"a": pa.array(a), "b": pa.array(b)}),
          pa.table({"a": pa.array(b), "b": pa.array(a)})]

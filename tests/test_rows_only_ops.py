@@ -665,3 +665,31 @@ def test_greedy_bins_property_matches_naive():
                 assert prev + toks_l[s] > budget
 
     check()
+
+
+def test_component_paths_agree(ray_session):
+    """_propagate_components' two paths (driver union-find for
+    broadcast-size edge tables vs the distributed BSP min-label loop)
+    must be value-identical — the same guarantee the adaptive semi-join
+    pins for its paths."""
+    import numpy as np
+
+    from owlcrawler_ray.pipelines.queries import _propagate_components
+
+    rng = np.random.default_rng(7)
+    # chains + stars + singletons-by-absence over a sparse id space
+    a = rng.integers(0, 400, size=300).astype(np.int64)
+    b = rng.integers(0, 400, size=300).astype(np.int64)
+
+    def run(force_bsp):
+        ds = _propagate_components(a.copy(), b.copy(), force_bsp=force_bsp)
+        return sorted(
+            (r["node"], r["label"]) for r in ds.take_all()
+        )
+
+    uf, bsp = run(False), run(True)
+    assert uf == bsp
+    # label invariant: component id is the min node id of its cluster
+    lab = dict(uf)
+    for n, l in uf:
+        assert lab[l] == l and l <= n
