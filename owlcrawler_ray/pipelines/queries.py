@@ -3033,22 +3033,41 @@ def q_ngram_jaccard_verify(sf_dir: str):
     def shingle_rows(batch: pa.Table) -> pa.Table:
         nd = ray.get(need_ref)
         ids = batch.column("doc_id").to_numpy()
-        pos = np.searchsorted(nd, ids)
-        pos = np.minimum(pos, len(nd) - 1)
-        mask = nd[pos] == ids
+        ppos = np.searchsorted(nd, ids)
+        ppos = np.minimum(ppos, len(nd) - 1)
+        mask = nd[ppos] == ids
         kept = batch.filter(pa.array(mask))
-        out_id, out_sh = [], []
-        for did, text in zip(kept.column("doc_id").to_pylist(),
-                             kept.column("text").to_pylist()):
-            ws = text.split(" ")
-            out_id.append(did)
-            out_sh.append(sorted({
-                " ".join(ws[i - 1 : i + 2])
-                for i in range(1, max(len(ws) - 2, 1) + 1)
-            }))
+        if kept.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "shingles": pa.array([], pa.list_(pa.string()))}
+            )
+        texts = kept.column("text")
+        # shared Arrow n-gram kernel (no per-row split loop); <3-word
+        # docs get the minhash-parity clipped shingle
+        pos, grams, counts = _word_ngrams(texts, 3)
+        short = np.nonzero(counts < 3)[0]
+        if len(short):
+            pos = np.concatenate([pos, short])
+            grams = pa.concat_arrays(
+                [grams.combine_chunks() if isinstance(grams, pa.ChunkedArray)
+                 else grams,
+                 pa.array([" ".join((texts[i].as_py() or "").split(" ")[:3])
+                           for i in short], pa.string())])
+        # distinct + sorted (row, shingle), then slice into per-row
+        # sorted-set lists via offsets from the distinct counts
+        u = pa.table({"p": pa.array(pos, pa.int64()), "g": grams}) \
+            .group_by(["p", "g"]).aggregate([])
+        order = pc.sort_indices(
+            u, sort_keys=[("p", "ascending"), ("g", "ascending")])
+        u = u.take(order)
+        up = u.column("p").to_numpy()
+        per_row = np.bincount(up, minlength=kept.num_rows)
+        offsets = np.concatenate([[0], np.cumsum(per_row)]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), u.column("g").combine_chunks())
         return pa.table(
-            {"doc_id": pa.array(out_id, pa.int64()),
-             "shingles": pa.array(out_sh, pa.list_(pa.string()))}
+            {"doc_id": kept.column("doc_id"), "shingles": lists}
         )
 
     sh_blocks = [
