@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "near_dup_dedup",
     "sequence_packing",
     "pii_scrub",
+    "unigram_rarity",
 ]
 
 

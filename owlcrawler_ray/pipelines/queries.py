@@ -68,22 +68,26 @@ def _clean_schema(path: str, columns=None) -> pa.Schema:
     return schema
 
 
-def _read_blocks(path: str, bytes_per_block: int = 4 << 20) -> int:
-    """Size-derived read block count: ~4 MB of compressed parquet per
-    block, capped at 4 blocks/cpu. Ray Data's default read parallelism
-    (~200) shreds a sub-MB table into a hundred near-empty blocks and
-    every downstream groupby/sort then pays per-block fan-out for no
-    parallelism gain (measured: the sf0.1 documents table read as 128
-    x 4.5 KB blocks; the minhash count-aggregate + pair tail spent ~2x
-    the whole corpus' single-core kernel time on block overhead). At
-    100-TB inputs the same formula yields one block per ~4 MB file
-    chunk — i.e. the cap never binds and reads stay wide."""
+def _read_blocks(path: str, bytes_per_block: int = 4 << 20) -> int | None:
+    """COMPACTION-ONLY read block override: ~4 MB of compressed parquet
+    per block for SMALL inputs; None (Ray's own size-aware planning) for
+    anything that deserves more than 4 blocks/cpu. Ray Data's default
+    read parallelism (~200) shreds a sub-MB table into a hundred
+    near-empty blocks and every downstream groupby/sort then pays
+    per-block fan-out for no parallelism gain (measured: the sf0.1
+    documents table read as 128 x 4.5 KB blocks; the minhash
+    count-aggregate + pair tail spent ~2x the whole corpus' single-core
+    kernel time on block overhead). The override must never CAP a large
+    read — a 100-TB input pinned to 4 blocks/cpu would serialize
+    hundreds of GB per task — so past the cpu knee we step aside and
+    let the engine split by its target block size."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
     size = os.path.getsize(path)
-    return max(1, min(4 * cpus, math.ceil(size / bytes_per_block)))
+    n = max(1, math.ceil(size / bytes_per_block))
+    return n if n < 4 * cpus else None
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -110,7 +114,8 @@ def _widen(ds, path: str, width: int | None = None):
             width = 2 * int(ray.cluster_resources().get("CPU", 4))
         except Exception:
             width = 8
-    if _read_blocks(path) >= width:
+    blocks = _read_blocks(path)
+    if blocks is None or blocks >= width:  # None: engine-planned wide read
         return ds
     return ds.repartition(width)
 
@@ -185,6 +190,10 @@ def _table_rows(sf_dir: str, name: str) -> int:
 # one broadcast object comfortably shared by every worker; above this the
 # keep side must stay distributed
 BROADCAST_SEMI_BYTES = 64 << 20
+# driver union-find budget for _propagate_components: per-edge PYTHON
+# work, so the crossover to the distributed BSP loop sits far below the
+# vectorized is_in broadcast budget
+COMPONENTS_DRIVER_BYTES = 8 << 20
 
 
 def _semi_filter(probe, keep, probe_key: str, keep_key: str,
@@ -1235,6 +1244,24 @@ _EMB_PAIR_SCHEMA = pa.schema(
 )
 
 
+def _emb_clone_union(sf_dir: str, columns: list[str]):
+    """embeddings plus exact clones of vec_id<20 shifted by +10000 — the
+    embedding family's deterministic near-dup planting, shared by the
+    pair pipeline and the keep-set stage so the recipe (count, offset)
+    can't silently diverge from the oracles that hard-code it."""
+    base = _read(sf_dir, "embeddings", columns=columns)
+    clones = _read(sf_dir, "embeddings", columns=columns).filter(
+        expr="vec_id < 20"
+    ).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(t.column("vec_id"), 10000),
+        ),
+        batch_format="pyarrow",
+    )
+    return base.union(clones)
+
+
 def q_embedding_near_dup(sf_dir: str):
     """Embedding-cosine near-dup pairs (threshold 0.999), LSH-bucketed —
     the 10^10-row shape. Seeded random-hyperplane codes (L=4 tables x 16
@@ -1258,18 +1285,7 @@ def q_embedding_near_dup(sf_dir: str):
     planes = rng.normal(size=(L, bits, dim))
     pref = ray.put(planes)
 
-    base = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    clones = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).filter(
-        expr="vec_id < 20"
-    ).map_batches(
-        lambda t: t.set_column(
-            t.schema.get_field_index("vec_id"),
-            "vec_id",
-            pc.add(t.column("vec_id"), 10000),
-        ),
-        batch_format="pyarrow",
-    )
-    ds = base.union(clones)
+    ds = _emb_clone_union(sf_dir, ["vec_id", "embedding"])
 
     def code_rows(batch: pa.Table) -> pa.Table:
         pls = ray.get(pref)
@@ -3311,7 +3327,15 @@ def _propagate_components(a: np.ndarray, b: np.ndarray, force_bsp=False):
     q_near_dup_components for its algorithm notes. Path equality is
     pinned by tests/test_rows_only_ops.py::test_component_paths_agree.
     Returns a materialized Dataset of (node, label)."""
-    if not force_bsp and (a.nbytes + b.nbytes) <= BROADCAST_SEMI_BYTES:
+    if len(a) == 0:
+        return rd.from_arrow(pa.table(
+            {"node": pa.array([], pa.int64()),
+             "label": pa.array([], pa.int64())}
+        )).materialize()
+    # the union-find walk is per-edge Python — cap it well below the
+    # vectorized-broadcast budget so the crossover to the distributed
+    # loop happens while the driver walk is still cheap (~512k edges)
+    if not force_bsp and (a.nbytes + b.nbytes) <= COMPONENTS_DRIVER_BYTES:
         nodes = np.unique(np.concatenate([a, b]))
         parent = np.arange(len(nodes), dtype=np.int64)
         ia = np.searchsorted(nodes, a)
@@ -3332,7 +3356,8 @@ def _propagate_components(a: np.ndarray, b: np.ndarray, force_bsp=False):
                 # (component id = min node id) without a second pass
                 lo, hi = (rx, ry) if rx < ry else (ry, rx)
                 parent[hi] = lo
-        labels = nodes[np.array([find(i) for i in range(len(nodes))])]
+        labels = nodes[np.array([find(i) for i in range(len(nodes))],
+                                dtype=np.int64)]
         return rd.from_arrow(
             pa.table({"node": pa.array(nodes), "label": pa.array(labels)})
         ).materialize()
@@ -3487,14 +3512,19 @@ def q_near_dup_dedup(sf_dir: str):
     pc.is_in pass; the heavy lifting (banded LSH + BSP components)
     already happened in distributed form upstream."""
     comp = q_near_dup_components(sf_dir)  # Dataset (doc_id, component)
-    drops_ds = comp.filter(expr="component < doc_id").select_columns(["doc_id"])
-    # empty Ray blocks carry an EMPTY schema (the repo-wide gotcha) — drop
-    # them before concat; the all-empty case degrades to an empty value set
-    blocks = [t for t in ray.get(drops_ds.to_arrow_refs()) if t.num_columns]
-    drop_ids = (
-        pa.concat_tables(blocks).column("doc_id").combine_chunks()
-        if blocks else pa.array([], pa.int64())
-    )
+    if isinstance(comp, pa.Table):  # empty-candidate fast path
+        drop_ids = pa.array([], pa.int64())
+    else:
+        drops_ds = comp.filter(expr="component < doc_id") \
+                       .select_columns(["doc_id"])
+        # empty Ray blocks carry an EMPTY schema (the repo-wide gotcha) —
+        # drop them before concat; all-empty degrades to an empty value set
+        blocks = [t for t in ray.get(drops_ds.to_arrow_refs())
+                  if t.num_columns]
+        drop_ids = (
+            pa.concat_tables(blocks).column("doc_id").combine_chunks()
+            if blocks else pa.array([], pa.int64())
+        )
     ref = ray.put(drop_ids)
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -4439,23 +4469,13 @@ def q_semantic_dedup(sf_dir: str):
     drops = pc.unique(pairs.column("vec_b"))
     drop_ref = ray.put(drops)
 
-    base = _read(sf_dir, "embeddings", columns=["vec_id", "label"])
-    clones = _read(sf_dir, "embeddings", columns=["vec_id", "label"]).filter(
-        expr="vec_id < 20"
-    ).map_batches(
-        lambda t: t.set_column(
-            t.schema.get_field_index("vec_id"), "vec_id",
-            pc.add(t.column("vec_id"), 10000),
-        ),
-        batch_format="pyarrow",
-    )
-
     def keep(batch: pa.Table) -> pa.Table:
         ds_ = ray.get(drop_ref)
         mask = pc.invert(pc.is_in(batch.column("vec_id"), value_set=ds_))
         return batch.filter(mask)
 
-    return base.union(clones).map_batches(keep, batch_format="pyarrow")
+    return _emb_clone_union(sf_dir, ["vec_id", "label"]).map_batches(
+        keep, batch_format="pyarrow")
 
 
 QUERIES["semantic_dedup"] = q_semantic_dedup
@@ -4546,7 +4566,11 @@ def q_sequence_packing(sf_dir: str):
         })
 
     return (
-        src.map_batches(tokify, batch_format="pyarrow", zero_copy_batch=True)
+        # per-part map_groups over a wide part space — same re-split rule
+        # as the event windows (see _widen)
+        _widen(src.map_batches(tokify, batch_format="pyarrow",
+                               zero_copy_batch=True),
+               _p(sf_dir, "documents"))
         .groupby("part")
         .map_groups(pack, batch_format="pyarrow")
     )
@@ -4635,6 +4659,96 @@ ORACLES["pii_scrub"] = r"""
                    '[0-9]+'))
            AS BIGINT) AS n_redacted
     FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# unigram rarity — LM-filter proxy (rare-word-heavy document scoring)
+# ---------------------------------------------------------------------------
+
+def q_unigram_rarity(sf_dir: str):
+    """Unigram-frequency document scoring — the integer-exact proxy for
+    the CCNet-style language-model perplexity filter: score each doc by
+    the summed CORPUS frequency of its tokens and flag docs whose mean
+    token frequency is below the corpus mean (rare-word-heavy docs are
+    the usual low-quality / wrong-language tail). The flag is the
+    cross-multiplied integer predicate
+        sum_freq * total_tokens < n_words * sum(freq^2 over vocab)
+    so it is bit-exact and order-independent in both engines.
+
+    Scale shape: pass 1 builds the unigram table with per-batch count
+    partials and a vocabulary-sized groupby (values, not rows, cross the
+    wire); the vocab broadcasts once via ray.put and pass 2 scores each
+    batch with a searchsorted lookup + segment sum — no second shuffle.
+    For corpora whose vocabulary outgrows a broadcast object the CMS
+    sketch (functions/sketch.py, oracled via cms_frequent_words) is the
+    drop-in approximate counts source; the bench corpus' vocabulary is
+    bounded, so the exact path is the one oracled here."""
+    src = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        return (
+            pa.table({"word": words})
+            .group_by("word").aggregate([([], "count_all")])
+            .rename_columns(["word", "n_p"])
+        )
+
+    vocab = (
+        src.map_batches(count_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+        .groupby("word").aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()  # O(vocabulary), not O(rows)
+        .sort_values("word")
+    )
+    vwords = pa.array(vocab["word"].to_numpy(), pa.string())
+    vcounts = vocab["n"].to_numpy().astype(np.int64)
+    total_tokens = int(vcounts.sum())
+    sum_sq = int((vcounts * vcounts).sum())
+    vref = ray.put((vwords, vcounts))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vw, vc = ray.get(vref)
+        words = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(words)
+        parents = pc.list_parent_indices(words).to_numpy()
+        # vocab index via binary search over the sorted broadcast words
+        idx = pc.index_in(flat, value_set=vw).to_numpy(zero_copy_only=False)
+        freq = vc[idx.astype(np.int64)]
+        n_rows = batch.num_rows
+        sum_freq = np.zeros(n_rows, np.int64)
+        n_words = np.zeros(n_rows, np.int64)
+        np.add.at(sum_freq, parents, freq)
+        np.add.at(n_words, parents, 1)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(n_words),
+            "sum_freq": pa.array(sum_freq),
+            "rare": pa.array(
+                sum_freq * total_tokens < n_words * sum_sq),
+        })
+
+    return src.map_batches(score, batch_format="pyarrow")
+
+
+QUERIES["unigram_rarity"] = q_unigram_rarity
+ORACLES["unigram_rarity"] = """
+    WITH w AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents
+    ),
+    c AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+               CAST(sum(n * n) AS BIGINT) AS sum_sq
+        FROM c
+    )
+    SELECT w.doc_id,
+           count(*) AS n_words,
+           CAST(sum(c.n) AS BIGINT) AS sum_freq,
+           (CAST(sum(c.n) AS BIGINT) * (SELECT total_tokens FROM tot)
+            < count(*) * (SELECT sum_sq FROM tot)) AS rare
+    FROM w JOIN c USING (word)
+    GROUP BY w.doc_id
 """
 
 

@@ -693,3 +693,33 @@ def test_component_paths_agree(ray_session):
     lab = dict(uf)
     for n, l in uf:
         assert lab[l] == l and l <= n
+
+
+def test_components_empty_edges(ray_session):
+    """The shared components helper must degrade to an empty (node,
+    label) Dataset on an empty edge list instead of crashing."""
+    import numpy as np
+
+    from owlcrawler_ray.pipelines.queries import _propagate_components
+
+    ds = _propagate_components(
+        np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+    assert ds.take_all() == []
+
+
+def test_near_dup_dedup_no_candidates(ray_session, monkeypatch):
+    """With an empty LSH candidate table the keep-set stage must return
+    the whole clone-union corpus unchanged (the r4 review found the
+    empty path crashed on the pa.Table fast-path return)."""
+    import pyarrow as pa
+
+    from owlcrawler_ray.pipelines import queries as q
+
+    monkeypatch.setattr(
+        q, "q_minhash_lsh_pairs",
+        lambda sf_dir: pa.table({"doc_a": pa.array([], pa.int64()),
+                                 "doc_b": pa.array([], pa.int64())}))
+    sf = "/root/testdata/sf0.001"
+    kept = q.q_near_dup_dedup(sf).count()
+    want = q._near_clone_union(sf).count()
+    assert kept == want
