@@ -177,3 +177,49 @@ def test_lang_length_quantiles_selection_rule_edges():
             assert got[(lang, q)] == vals[(num * n + den - 1) // den - 1], (
                 lang, q, n
             )
+
+
+def test_pii_scrub_oracle_matches_arrow_kernels_on_edges():
+    """The corpus props only exercise digit runs; guard the email branch
+    and the email/digit interaction (emails containing digits must be
+    redacted as ONE <EMAIL>, not leave <NUM> fragments; text around
+    redactions must survive) by running the oracle SQL over a crafted
+    events view against the same Arrow kernels the query uses."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from owlcrawler_ray.pipelines.queries import _PII_EMAIL, _PII_NUM
+
+    rows = [
+        (0, '{"k": 69}'),
+        (1, "contact bob42@example.com or 555 0199"),
+        (2, "a1b2c3 x@y.io 7"),
+        (3, ""),
+        (4, "no pii here"),
+        (5, "double..dots@weird-host.org.uk trailing 000"),
+        (6, "@notanemail 123@456"),  # local/domain shapes that must NOT match
+    ]
+    con = duckdb.connect()
+    values = ", ".join(
+        "({}, '{}')".format(i, p.replace("'", "''")) for i, p in rows
+    )
+    con.execute(
+        "CREATE VIEW events AS "
+        f"SELECT * FROM (VALUES {values}) AS t(event_id, props)"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(ORACLES["pii_scrub"]).fetchall()
+    }
+    p = pa.array([x for _, x in rows], pa.string())
+    n_mail = pc.count_substring_regex(p, _PII_EMAIL)
+    p1 = pc.replace_substring_regex(p, _PII_EMAIL, "<EMAIL>")
+    n_num = pc.count_substring_regex(p1, _PII_NUM)
+    p2 = pc.replace_substring_regex(p1, _PII_NUM, "<NUM>").to_pylist()
+    n = pc.add(n_mail, n_num).to_pylist()
+    got = {i: (p2[j], n[j]) for j, (i, _) in enumerate(rows)}
+    assert got == want
+    # the branches fire: at least one email redacted, digits inside an
+    # email must NOT surface as <NUM>
+    assert "<EMAIL>" in got[1][0] and "42" not in got[1][0]
+    assert got[1][0].count("<NUM>") == 2
