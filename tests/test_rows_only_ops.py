@@ -723,3 +723,17 @@ def test_near_dup_dedup_no_candidates(ray_session, monkeypatch):
     kept = q.q_near_dup_dedup(sf).count()
     want = q._near_clone_union(sf).count()
     assert kept == want
+
+
+def test_widen_noop_when_read_is_already_wide(monkeypatch):
+    """_widen must be a structural no-op (same object back) when the
+    size-derived read is engine-planned (None) or already at least as
+    wide as the target — the guarantee that no extra all-to-all is ever
+    paid at scale."""
+    from owlcrawler_ray.pipelines import queries as q
+
+    sentinel = object()
+    monkeypatch.setattr(q, "_read_blocks", lambda path: None)
+    assert q._widen(sentinel, "ignored") is sentinel
+    monkeypatch.setattr(q, "_read_blocks", lambda path: 10_000)
+    assert q._widen(sentinel, "ignored") is sentinel
