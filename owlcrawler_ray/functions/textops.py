@@ -124,6 +124,7 @@ def es_fragments(
     frag_size: int = 150,
     n_frags: int = 3,
     lead: int = 40,
+    sanitize: bool = True,
 ) -> list[tuple[int, int, str]]:
     """The reference's ES highlight model re-expressed deterministically
     (elastic_search.go:123-154: fragment_size=150, number_of_fragments=3,
@@ -179,7 +180,10 @@ def es_fragments(
         for m in reversed(inside):  # right-to-left keeps offsets valid
             s, e = m.start() - start, m.end() - start
             seg = seg[:s] + _PRE_TAG + seg[s:e] + _POST_TAG + seg[e:]
-        out.append((score, start, sanitize_highlight(seg)))
+        # sanitize=False returns the sentinel-marked form so an
+        # HTML-rendering caller can escape the corpus text FIRST and only
+        # then turn the (escape-proof) sentinels into live tags
+        out.append((score, start, sanitize_highlight(seg) if sanitize else seg))
     return out
 
 

@@ -46,8 +46,10 @@ import json
 import logging
 import math
 import os
+import threading
 import time
 from dataclasses import asdict, dataclass, field, replace
+from functools import partial
 
 import numpy as np
 import pyarrow as pa
@@ -61,7 +63,7 @@ from ..sinks import table_store
 from ..sinks.checkpoint import CheckpointManager
 from ..sources.corpus import SyntheticWeb, WebConfig
 from ..stages.extract import extract_batch
-from ..stages.fetch import CorpusFetcher, FactoryFetcher
+from ..stages.fetch import CorpusFetcher, FactoryFetcher, cached_fetcher
 from ..stages.images import ImageDecoder, ImageFetcher
 from ..state.frontier import FrontierShard, entries_table
 from ..state.politeness import PolitenessConfig, PolitenessGate
@@ -107,9 +109,10 @@ class CrawlConfig:
     # optional zero-arg factory returning a Fetcher (e.g.
     # functools.partial(HttpFetcher, rewrite_base=...)) — None = the
     # deterministic corpus fetcher. Built INSIDE each task/actor (a live
-    # fetcher holds sockets/threads and must never be pickled). Execution
-    # machinery, deliberately outside fingerprint(): page content, not
-    # transport, defines crawl identity.
+    # fetcher holds sockets/threads and must never be pickled). With a
+    # real fetcher the factory DOES define page content (it is the
+    # source), so its identity enters fingerprint() below; None keeps
+    # the legacy fingerprint so existing checkpoints stay resumable.
     fetcher_factory: object | None = None
 
     def fingerprint(self) -> str:
@@ -130,6 +133,22 @@ class CrawlConfig:
             "write_images": self.write_images,
             "fetch_robots": self.fetch_robots,
         }
+        if self.fetcher_factory is not None:
+            # a non-default fetcher is the page SOURCE: resuming a
+            # real-web checkpoint with a different transport would
+            # silently append pages from another origin into the same
+            # tables — tokenize the factory so the resume guard fires
+            f = self.fetcher_factory
+            fn = getattr(f, "func", f)
+            # qualname, not repr: a repr'd function/lambda embeds a
+            # memory address and would break every resume
+            name = (getattr(fn, "__module__", "")
+                    + "." + getattr(fn, "__qualname__", type(fn).__name__))
+            d["fetcher"] = (
+                name
+                + repr(tuple(getattr(f, "args", ())))
+                + repr(sorted(getattr(f, "keywords", {}).items()))
+            )
         return hashlib.blake2b(
             json.dumps(d, sort_keys=True, default=str).encode(), digest_size=8
         ).hexdigest()
@@ -150,18 +169,18 @@ def _fetch_extract_fn(web_cfg, raw_tmp, imgs_tmp, fetch_inline: bool,
     is preserved)."""
     img_fetcher = ImageFetcher(web_cfg) if imgs_tmp is not None else None
     img_decoder = ImageDecoder() if imgs_tmp is not None else None
-    # the fetcher is built lazily INSIDE the task (once, then reused):
-    # a real HttpFetcher holds sockets + a thread pool and cannot ride a
-    # pickled closure; the corpus fetcher is a pure function of config
-    state: dict = {"fetcher": None}
+    # the fetcher is built lazily INSIDE the task via the per-process
+    # cached_fetcher: a real HttpFetcher holds sockets + a thread pool
+    # and cannot ride a pickled closure, and per-CLOSURE state would
+    # build one fetcher per ROUND per worker (each round exports a fresh
+    # closure that Ray caches forever) — the factory-keyed cache bounds
+    # it to one per configuration per worker process
 
     def fe(batch: pa.Table) -> pa.Table:
         if fetch_inline:
-            f = state["fetcher"]
-            if f is None:
-                f = (fetcher_factory() if fetcher_factory
-                     else CorpusFetcher(web_cfg))
-                state["fetcher"] = f
+            f = cached_fetcher(
+                fetcher_factory if fetcher_factory is not None
+                else partial(CorpusFetcher, web_cfg))
             batch = f(batch)
         ext = extract_batch(batch)
         ok = ext.filter(pc.equal(ext.column("status"), 200))
@@ -258,6 +277,7 @@ class Crawler:
         self.attempts_log: list[dict] = []
         self.fetch_log: list[dict] = []
         self.metrics: dict = {"rounds": []}
+        self._add_sites_lock = threading.Lock()
         restored = False
         if resume:
             restored = self._restore()
@@ -297,6 +317,16 @@ class Crawler:
         self.next_seq = len(seeds)
 
     def add_sites(self, urls: list[str]) -> int:
+        """Serialized entry for runtime seed injection: the webapp can
+        serve /add-site from ThreadingHTTPServer threads, so concurrent
+        calls would race the sites-round id (same rid computed twice ->
+        one submission overwritten) and the next_seq read-modify-write.
+        The between-rounds contract of the impl below still applies for
+        calls racing an executing round."""
+        with self._add_sites_lock:
+            return self._add_sites_impl(urls)
+
+    def _add_sites_impl(self, urls: list[str]) -> int:
         """Runtime seed injection — the reference webapp's submit-a-site
         path (webapp/main.go:143-196: persist couchdb.NewSite, publish the
         URL to ``fetch_url`` mid-stream). Callable between rounds on a

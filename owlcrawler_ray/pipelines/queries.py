@@ -128,17 +128,6 @@ _LOG = logging.getLogger("owlcrawler_ray.queries")
 MAX_BUCKET_MEMBERS = 1024
 
 
-def _cap_members(ms: list, dropped: list) -> list:
-    """Cap a hot bucket's member list at MAX_BUCKET_MEMBERS (input must
-    already be deterministically sorted). The dropped tail is COUNTED in
-    ``dropped[0]`` and the caller logs it — a bounded driver never silently
-    pretends full coverage ("no silent caps")."""
-    if len(ms) <= MAX_BUCKET_MEMBERS:
-        return ms
-    dropped[0] += len(ms) - MAX_BUCKET_MEMBERS
-    return ms[:MAX_BUCKET_MEMBERS]
-
-
 def _log_dropped(dropped: list, ctx: str) -> None:
     if dropped[0]:
         _LOG.warning(
@@ -171,20 +160,32 @@ def _join_width(est_bytes: int | None = None, frac: float = 1.0,
     return width
 
 
+# estimate failure sentinel: FAIL LARGE, never small. A 0 estimate would
+# satisfy every broadcast threshold and let _semi_filter pull an
+# arbitrarily large keep side onto the driver on the error path — the
+# exact violation its "cannot under-count" invariant forbids. A huge
+# sentinel instead degrades to the always-safe partitioned/distributed
+# path.
+EST_UNKNOWN = 1 << 62
+
+
 def _table_bytes(sf_dir: str, name: str) -> int:
-    """On-disk size of one input table — the cheap join-width estimate."""
+    """On-disk size of one input table — the cheap join-width estimate.
+    Fails LARGE (EST_UNKNOWN) so estimate errors can only ever force the
+    distributed path, never the broadcast one."""
     try:
         return os.path.getsize(_p(sf_dir, name))
     except OSError:
-        return 0
+        return EST_UNKNOWN
 
 
 def _table_rows(sf_dir: str, name: str) -> int:
-    """Row count from the parquet footer — metadata only, no data read."""
+    """Row count from the parquet footer — metadata only, no data read.
+    Fails LARGE (see _table_bytes)."""
     try:
         return pq.ParquetFile(_p(sf_dir, name)).metadata.num_rows
     except Exception:
-        return 0
+        return EST_UNKNOWN
 
 
 # one broadcast object comfortably shared by every worker; above this the
@@ -490,6 +491,9 @@ def q_anti_join_bloom(sf_dir: str):
 
     def keep(want_hit: bool):
         def f(batch: pa.Table) -> pa.Table:
+            if "hit" not in batch.column_names:  # empty block, pre-map schema
+                return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                                 "o_custkey": pa.array([], pa.int64())})
             mask = batch.column("hit")
             return batch.filter(
                 mask if want_hit else pc.invert(mask)

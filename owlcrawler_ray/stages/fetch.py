@@ -109,6 +109,29 @@ class HttpFetcher:
             "html", pa.array([b for _, b in results], type=pa.large_binary())
         )
 
+    def close(self) -> None:
+        self._pool.shutdown(wait=False)
+
+
+# Per-worker-process fetcher cache for the inline (raw-task) crawl path.
+# The round function is a fresh closure every round, and Ray caches each
+# exported function in the worker's function table — so per-closure
+# fetcher state would build (and never close) one thread-pool fetcher per
+# ROUND per worker. Keying on the pickled factory bytes instead bounds it
+# to one live fetcher per distinct configuration per worker process.
+_FETCHER_CACHE: dict[bytes, object] = {}
+
+
+def cached_fetcher(factory):
+    from ray import cloudpickle
+
+    key = cloudpickle.dumps(factory)
+    f = _FETCHER_CACHE.get(key)
+    if f is None:
+        f = factory()
+        _FETCHER_CACHE[key] = f
+    return f
+
 
 class FactoryFetcher:
     """Adapter so an arbitrary zero-arg fetcher factory can run as a

@@ -37,7 +37,7 @@ from urllib.parse import parse_qs, urlsplit
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .functions.textops import es_fragments
+from .functions.textops import es_fragments, sanitize_highlight
 from .sinks import table_store
 
 _PAGE = """<!DOCTYPE html>
@@ -65,16 +65,29 @@ class CrawlWebApp:
     def __init__(self, out_dir: str, crawler=None):
         self.out_dir = out_dir
         self.crawler = crawler  # live add-site target (optional)
+        # per-table read memo keyed on the committed round set: the store
+        # is append-only by round, so a table re-reads only when a new
+        # round commits — without this, EVERY search request re-read the
+        # full corpus text from parquet (ThreadingHTTPServer multiplies
+        # that per concurrent request)
+        self._cache: dict = {}
+
+    def _read(self, name: str, columns: list[str]) -> pa.Table:
+        sig = tuple(table_store.list_rounds(self.out_dir, name))
+        key = (name, tuple(columns))
+        hit = self._cache.get(key)
+        if hit is not None and hit[0] == sig:
+            return hit[1]
+        t = table_store.read_all_arrow(self.out_dir, name, columns=columns)
+        self._cache[key] = (sig, t)
+        return t
 
     # ---- backing queries (pruned driver-side reads) -------------------
     def stats(self) -> dict:
         """fetched/parsed/sites — the reference stats view counts."""
-        pages = table_store.read_all_arrow(self.out_dir, "pages",
-                                           columns=["url"])
-        stamps = table_store.read_all_arrow(self.out_dir, "stamps",
-                                            columns=["url", "parsed_on"])
-        sites = table_store.read_all_arrow(self.out_dir, "sites",
-                                           columns=["site"])
+        pages = self._read("pages", ["url"])
+        stamps = self._read("stamps", ["parsed_on"])
+        sites = self._read("sites", ["site"])
         parsed = 0
         if stamps.num_rows:
             parsed = int(pc.sum(pc.cast(
@@ -93,9 +106,7 @@ class CrawlWebApp:
         terms = tuple(t for t in term.split() if t)
         if not terms:
             return []
-        pages = table_store.read_all_arrow(
-            self.out_dir, "pages", columns=["doc_id", "url", "title", "text"]
-        )
+        pages = self._read("pages", ["doc_id", "url", "title", "text"])
         if pages.num_rows == 0:
             return []
         joined = pc.binary_join(pages.column("text"), " ")
@@ -128,7 +139,12 @@ class CrawlWebApp:
         t = t.take(idx[:k])
         hits = []
         for row in t.to_pylist():
-            frags = es_fragments(row["body"], terms)
+            # sentinel form: the HTML surface escapes corpus text BEFORE
+            # turning the (escape-proof) sentinels into live <strong> —
+            # extracted page text can contain literal markup, and the
+            # raw join would serve it executable (stored XSS)
+            frags = es_fragments(row["body"], terms, sanitize=False)
+            raw = [f for _, _, f in frags]
             hits.append(
                 {
                     "doc_id": row["doc_id"],
@@ -136,9 +152,11 @@ class CrawlWebApp:
                     "title": row["title"],
                     "score": int(row["score"]),
                     # the reference joins highlights with " ... "
-                    # (webapp/main.go:117-120); es_fragments already ran
-                    # the sentinel->strong sanitize (sanitize_highlight)
-                    "highlight": " ... ".join(f for _, _, f in frags),
+                    # (webapp/main.go:117-120)
+                    "highlight": " ... ".join(
+                        sanitize_highlight(f) for f in raw),
+                    "highlight_html": " ... ".join(
+                        sanitize_highlight(html.escape(f)) for f in raw),
                 }
             )
         return hits
@@ -194,9 +212,9 @@ class CrawlWebApp:
                             u=html.escape(r["url"], quote=True),
                             t=html.escape(r["title"] or r["url"]),
                             s=r["score"],
-                            # highlight text is corpus-derived; only
-                            # <strong> marks are intentionally live
-                            h=r["highlight"],
+                            # escaped-then-marked: corpus text is inert,
+                            # only the sentinel-derived <strong> is live
+                            h=r["highlight_html"],
                         )
                         for r in rows
                     )

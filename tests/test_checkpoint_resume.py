@@ -166,3 +166,26 @@ def test_resume_accepts_legacy_polite_fingerprint(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="different crawl config"):
         Crawler(parity_resume, resume=True)
+
+
+def test_fingerprint_tokenizes_fetcher_factory():
+    """A non-default fetcher is the page SOURCE: resuming with a
+    different transport must trip the fingerprint guard (default None
+    keeps the legacy fingerprint so old checkpoints stay resumable)."""
+    from dataclasses import replace
+    from functools import partial
+
+    from owlcrawler_ray.pipelines.crawl import CrawlConfig
+    from owlcrawler_ray.stages.fetch import HttpFetcher
+
+    base = CrawlConfig()
+    h1 = replace(base, fetcher_factory=partial(
+        HttpFetcher, rewrite_base="http://127.0.0.1:1"))
+    h2 = replace(base, fetcher_factory=partial(
+        HttpFetcher, rewrite_base="http://127.0.0.1:2"))
+    assert base.fingerprint() != h1.fingerprint()
+    assert h1.fingerprint() != h2.fingerprint()
+    # equal configs agree across distinct factory objects (no repr/id)
+    again = replace(base, fetcher_factory=partial(
+        HttpFetcher, rewrite_base="http://127.0.0.1:1"))
+    assert h1.fingerprint() == again.fingerprint()

@@ -402,19 +402,15 @@ def test_count_min_sketch_deep_rows_salted():
     assert (est <= s4.estimate(keys)).all()
 
 
-def test_hot_bucket_skew_cap_unit(monkeypatch, caplog):
-    """Driver-side pair assembly is bounded: a mega-bucket's member list
-    is capped at MAX_BUCKET_MEMBERS and the dropped volume is counted and
-    LOGGED (the 'no silent caps' rule)."""
+def test_hot_bucket_skew_cap_unit(caplog):
+    """The skew-cap drop accounting is LOGGED (the 'no silent caps'
+    rule). The capping itself now happens task-side in each emit_pairs
+    (order[:cap]); the driver computes the drop count from the bucket
+    aggregate and funnels it through _log_dropped."""
     from owlcrawler_ray.pipelines import queries as Q
 
-    monkeypatch.setattr(Q, "MAX_BUCKET_MEMBERS", 100)
-    dropped = [0]
-    ms = Q._cap_members(list(range(100_000)), dropped)
-    assert len(ms) == 100 and ms == list(range(100))
-    assert dropped[0] == 99_900
     with caplog.at_level("WARNING", logger="owlcrawler_ray.queries"):
-        Q._log_dropped(dropped, "unit")
+        Q._log_dropped([99_900], "unit")
     assert "skew cap" in caplog.text and "99900" in caplog.text
 
 

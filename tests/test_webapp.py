@@ -90,3 +90,38 @@ def test_webapp_detached_addsite_journal(tmp_path):
         assert f.read() == "http://host-1.test/\n"
     # stats over an empty/missing store must serve zeros, not crash
     assert app.stats() == {"fetched": 0, "parsed": 0, "sites": 0}
+
+
+def test_search_highlight_escapes_corpus_markup(tmp_path):
+    """Stored-XSS guard: extracted page text can contain literal markup
+    (a real fetch of a page whose text nodes decode to '<script>...');
+    the HTML surface must serve it inert — escaped corpus text with ONLY
+    the sentinel-derived <strong> live. The reference marks fragments as
+    template.HTML after sentinel replacement (webapp/main.go:137-141),
+    which trusts ES's encoder; our surface escapes first."""
+    import pyarrow as pa
+
+    from owlcrawler_ray.sinks import table_store
+
+    out = str(tmp_path / "out")
+    t = pa.table({
+        "doc_id": pa.array(["d1"], pa.string()),
+        "url": pa.array(["http://h/x"], pa.string()),
+        "title": pa.array(["t"], pa.string()),
+        "text": pa.array(
+            [["<script>alert(1)</script>", "owl", "crawler"]],
+            pa.list_(pa.string())),
+    })
+    table_store.write_round(t, out, "pages", 0)
+    table_store.commit_round(out, "pages", 0)
+    app = CrawlWebApp(out)
+    hits = app.search("owl")
+    assert hits, "crafted page must match"
+    h = hits[0]["highlight_html"]
+    assert "<script>" not in h and "&lt;script&gt;" in h
+    assert "<strong>owl</strong>" in h
+    # the plain-text API form keeps the reference's raw behavior
+    assert "<script>" in hits[0]["highlight"]
+    # second search with no new rounds hits the memo (same object back)
+    pages_again = app._read("pages", ["doc_id", "url", "title", "text"])
+    assert app._read("pages", ["doc_id", "url", "title", "text"]) is pages_again
