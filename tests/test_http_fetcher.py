@@ -167,3 +167,23 @@ def test_http_crawl_full_parity(http_server, ray_session, tmp_path):
     ]
     assert got_order == oracle.fetch_order
     assert got_seen == oracle.seen
+
+
+def test_cached_fetcher_dedupes_equal_factories():
+    """The per-process fetcher cache must return ONE live fetcher for
+    structurally equal factories (each crawl round pickles a fresh
+    closure, so per-closure state would leak one thread-pool fetcher per
+    round per worker), and distinct configs must get distinct fetchers."""
+    from functools import partial
+
+    from owlcrawler_ray.stages.fetch import HttpFetcher, cached_fetcher
+
+    f1 = cached_fetcher(partial(HttpFetcher, rewrite_base="http://127.0.0.1:1"))
+    f2 = cached_fetcher(partial(HttpFetcher, rewrite_base="http://127.0.0.1:1"))
+    f3 = cached_fetcher(partial(HttpFetcher, rewrite_base="http://127.0.0.1:2"))
+    try:
+        assert f1 is f2
+        assert f1 is not f3
+    finally:
+        f1.close()
+        f3.close()
