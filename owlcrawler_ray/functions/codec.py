@@ -77,17 +77,26 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
 
 
 def decode(buf: bytes) -> tuple[np.ndarray, str, int, int]:
-    """bytes -> (pixels (h,w,3) uint8, fmt, w, h). Raises ValueError on a
-    payload that is not OWLC-encoded (the hook point where a PIL decoder
-    would take over for real jpeg/png/webp bytes)."""
+    """bytes -> (pixels (h,w,3) uint8, fmt, w, h). Raises ValueError on
+    ANY payload that is not valid OWLC — including truncated headers,
+    unknown format codes and corrupt zlib streams, which internally
+    surface as IndexError/KeyError/zlib.error and are normalized here so
+    callers can rely on the documented single exception type (a real
+    fetch can hand this any bytes). This is the hook point where a PIL
+    decoder would take over for real jpeg/png/webp payloads."""
     buf = bytes(buf)
     if buf[:4] != MAGIC:
         raise ValueError("not an OWLC payload")
-    fmt = _FMT_NAME[buf[4]]
-    s = buf[5]
-    w = int.from_bytes(buf[6:8], "little")
-    h = int.from_bytes(buf[8:10], "little")
-    q = np.frombuffer(zlib.decompress(buf[10:]), dtype=np.uint8).reshape(h, w, 3)
+    try:
+        fmt = _FMT_NAME[buf[4]]
+        s = buf[5]
+        w = int.from_bytes(buf[6:8], "little")
+        h = int.from_bytes(buf[8:10], "little")
+        q = np.frombuffer(
+            zlib.decompress(buf[10:]), dtype=np.uint8
+        ).reshape(h, w, 3)
+    except (IndexError, KeyError, zlib.error, ValueError) as e:
+        raise ValueError(f"corrupt OWLC payload: {e}") from e
     if s:
         pix = np.clip(
             q.astype(np.int32) * (1 << s) + (1 << (s - 1)), 0, 255

@@ -68,13 +68,11 @@ def url_hash64(url: str) -> int:
 
 
 def url_hash64_many(urls) -> np.ndarray:
-    """Vectorized-ish batch hash -> uint64 ndarray.
-
-    Uses polars' rust-native hash when available (fast path for big
-    batches); falls back to per-string blake2b. NOTE: the polars hash is
-    only used for SHARD ROUTING (any consistent hash works); everything
-    persisted (seen-set checkpoint, sketches) uses blake2b via
-    ``hash_col="stable"`` so checkpoints survive library upgrades.
+    """Batch hash -> uint64 ndarray: per-string blake2b (STABLE across
+    processes, runs and library versions — seen-set checkpoints and
+    sketches depend on that). It is a Python-level loop per string; at
+    crawl-frontier rates that is fine, and NUMERIC key columns should
+    use the vectorized ``int_hash64_many`` below instead.
     """
     return np.fromiter(
         (url_hash64(u) for u in urls), dtype=np.uint64, count=len(urls)

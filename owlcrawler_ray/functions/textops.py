@@ -142,6 +142,10 @@ def es_fragments(
 
     Returns [(score, start_offset, highlighted_fragment)].
     """
+    if not terms:
+        # an empty alternation compiles to '' and matches a zero-width
+        # hit at EVERY offset — garbage fragments; no terms, no fragments
+        return []
     term_re = re.compile("|".join(re.escape(t) for t in terms))
     phrase_re = (
         re.compile(

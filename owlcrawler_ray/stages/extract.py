@@ -52,7 +52,11 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         img_caps.append([i[1] for i in imgs])
     ls = pa.list_(pa.string())
     return (
-        batch.append_column("doc_id", pa.array([ids.doc_id(u) for u in urls]))
+        # explicit string type: an untyped empty pa.array is null-typed
+        # and would schema-mismatch non-empty batches at concat
+        batch.append_column(
+            "doc_id",
+            pa.array([ids.doc_id(u) for u in urls], type=pa.string()))
         .append_column("title", pa.array(titles, type=pa.string()))
         .append_column("h1", pa.array(h1s, type=ls))
         .append_column("h2", pa.array(h2s, type=ls))

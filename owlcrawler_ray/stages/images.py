@@ -12,37 +12,14 @@ batch x concurrency of decoded pixel arrays stays within worker heaps.
 from __future__ import annotations
 
 import numpy as np
+import logging
+
 import pyarrow as pa
 
 from ..functions import codec, ids
 from ..sources.corpus import SyntheticWeb, WebConfig
 
-
-def explode_image_refs(batch: pa.Table) -> pa.Table:
-    """pages batch (img_urls/img_captions + tick) -> one row per image ref,
-    carrying (tick, img_idx) so parity ordering is reconstructible."""
-    urls = batch.column("img_urls").to_pylist()
-    caps = batch.column("img_captions").to_pylist()
-    ticks = batch.column("tick").to_pylist()
-    page_urls = batch.column("url").to_pylist()
-    out_url, out_cap, out_tick, out_idx, out_page = [], [], [], [], []
-    for page_url, tick, us, cs in zip(page_urls, ticks, urls, caps):
-        for i, (u, c) in enumerate(zip(us, cs)):
-            out_url.append(u)
-            out_cap.append(c)
-            out_tick.append(tick)
-            out_idx.append(i)
-            out_page.append(page_url)
-    return pa.table(
-        {
-            "image_url": pa.array(out_url, type=pa.string()),
-            "caption": pa.array(out_cap, type=pa.string()),
-            "tick": pa.array(out_tick, type=pa.int64()),
-            "img_idx": pa.array(out_idx, type=pa.int32()),
-            "page_url": pa.array(out_page, type=pa.string()),
-        }
-    )
-
+_LOG = logging.getLogger("owlcrawler_ray.images")
 
 class ImageFetcher:
     """image_url batch -> +bytes (corpus-backed; a real impl holds an HTTP
@@ -69,12 +46,15 @@ class ImageFetcher:
 class ImageDecoder:
     """+bytes -> image_id, w, h, fmt, phash (the input_hint row shape).
 
-    Rows whose payload fails to decode are dropped (counted), mirroring the
-    reference's drop-on-error stance for fetch failures (fetcher.go:51-54).
+    Rows whose payload fails to decode are dropped, mirroring the
+    reference's drop-on-error stance for fetch failures (fetcher.go:
+    51-54); the per-actor ``n_bad`` counter and a WARNING log record the
+    drop volume (the "no silent caps" rule).
     """
 
     def __init__(self):
         codec._dct_matrix(32)  # build the DCT basis once per actor
+        self.n_bad = 0  # undecodable payloads dropped by this actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("image_url").to_pylist()
@@ -94,7 +74,10 @@ class ImageDecoder:
                 continue
             try:
                 pix, fmt, w, h = codec.decode(bytes(b))
-            except (ValueError, KeyError):
+            except ValueError:  # codec normalizes all corrupt-payload errors
+                self.n_bad += 1
+                _LOG.warning("ImageDecoder: dropped undecodable payload "
+                             "for %s (%d so far on this actor)", u, self.n_bad)
                 continue
             rows["image_id"].append(ids.doc_id(u))
             rows["bytes"].append(b)

@@ -55,6 +55,7 @@ class VideoFrameSampler:
 
     def __init__(self, stride: int = 2, max_frames: int = 8, fmt: str = "png"):
         self.stride, self.max_frames, self.fmt = stride, max_frames, fmt
+        self.n_bad = 0  # undecodable containers skipped by this actor
         codec._dct_matrix(32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -68,6 +69,7 @@ class VideoFrameSampler:
                     bytes(buf), stride=self.stride, max_frames=self.max_frames
                 )
             except ValueError:
+                self.n_bad += 1
                 continue
             for i, frame in enumerate(sampled):
                 vids.append(vid)

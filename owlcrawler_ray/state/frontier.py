@@ -40,6 +40,7 @@ class FrontierShard:
         # lazy-deletion heap of (priority, seq, url, host, depth)
         self.heap: list[tuple[float, int, str, str, int]] = []
         self.removed: set[int] = set()  # seqs popped by admission
+        self.present: set[int] = set()  # seqs currently live in the heap
         self.live = 0
 
     def push_table(self, table: pa.Table) -> int:
@@ -50,6 +51,7 @@ class FrontierShard:
         seqs = table.column("discovered_seq").to_pylist()
         for u, h, d, p, s in zip(urls, hosts, depths, prios, seqs):
             heapq.heappush(self.heap, (float(p), int(s), u, h, int(d)))
+            self.present.add(int(s))
         self.live += len(urls)
         return self.live
 
@@ -81,10 +83,18 @@ class FrontierShard:
         )
 
     def remove_seqs(self, seqs: list[int]) -> int:
+        # count only seqs actually LIVE in this shard: `not in removed`
+        # alone is not idempotent (compaction discards seqs from
+        # `removed`, re-arming a replayed remove), and a foreign seq
+        # would decrement `live` below the real entry count — either way
+        # the crawl loop would see an empty frontier while entries
+        # remain (caught by the round-4 review)
         n = 0
         for s in seqs:
-            if s not in self.removed:
-                self.removed.add(int(s))
+            s = int(s)
+            if s in self.present:
+                self.present.discard(s)
+                self.removed.add(s)
                 n += 1
         self.live -= n
         self._compact()
@@ -109,6 +119,7 @@ class FrontierShard:
     def restore(self, table: pa.Table) -> int:
         self.heap = []
         self.removed = set()
+        self.present = set()
         self.live = 0
         return self.push_table(table)
 

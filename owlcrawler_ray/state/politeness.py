@@ -61,10 +61,16 @@ class HostBucket:
 
 
 def parse_robots(text: str) -> list[str]:
-    """Minimal robots.txt parser: Disallow prefixes under User-agent: *
-    (the subset a polite crawler must honor; Allow/crawl-delay omitted)."""
+    """Minimal robots.txt parser: Disallow prefixes whose group includes
+    User-agent: * (the subset a polite crawler must honor; Allow/
+    crawl-delay omitted). Per the robots spec, CONSECUTIVE User-agent
+    lines form one group sharing the rules that follow — `User-agent: *`
+    then `User-agent: otherbot` then `Disallow: /x` disallows /x for
+    both, so `active` must accumulate over the group, not be overwritten
+    by each agent line (caught by the round-4 review)."""
     rules: list[str] = []
     active = False
+    in_agent_block = False
     for line in text.splitlines():
         line = line.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -72,9 +78,14 @@ def parse_robots(text: str) -> list[str]:
         key, _, val = line.partition(":")
         key, val = key.strip().lower(), val.strip()
         if key == "user-agent":
-            active = val == "*"
-        elif key == "disallow" and active and val:
-            rules.append(val)
+            if not in_agent_block:  # first agent line of a NEW group
+                active = False
+            in_agent_block = True
+            active = active or val == "*"
+        else:
+            in_agent_block = False
+            if key == "disallow" and active and val:
+                rules.append(val)
     return rules
 
 
@@ -110,7 +121,13 @@ class PolitenessGate:
         return self.robots[host]
 
     def allowed(self, url: str) -> bool:
-        parts = urlsplit(url)
+        try:
+            parts = urlsplit(url)
+        except ValueError:
+            # malformed URL from hostile page content (e.g. an unclosed
+            # IPv6 bracket that survived link resolution) — skip it
+            # rather than crash the admission loop
+            return False
         path = parts.path or "/"
         return not any(path.startswith(p) for p in self.rules_for(parts.netloc))
 

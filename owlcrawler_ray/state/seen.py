@@ -251,9 +251,22 @@ class SeenShard:
         i = 0
         while os.path.exists(self._run_path(i)):
             t = pq.read_table(self._run_path(i))
-            self._runs.append(
-                (t.column("url_hash").to_numpy(), t.column("url").to_pylist())
-            )
+            hashes = t.column("url_hash").to_numpy()
+            urls = t.column("url").to_pylist()
+            self._runs.append((hashes, urls))
+            # re-establish filter coverage for the loaded keys: runs can be
+            # loaded into a FRESH shard (actor restart, or a resume that
+            # finds a dirty spill_dir before the first checkpoint commit)
+            # whose filter is cold — without this, filter-first
+            # contains_many returns false negatives for every spilled URL
+            # while _known/test_and_set_many still see them, an internally
+            # contradictory shard (caught by the round-4 review)
+            if self.deletable:
+                for h, u in zip(hashes.tolist(), urls):
+                    if not self.filter.insert(int(h)):
+                        self.overflow.add(u)
+            else:
+                self.filter.add_many(hashes)
             i += 1
 
     def _maybe_spill(self) -> None:

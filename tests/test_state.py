@@ -499,3 +499,91 @@ def test_int_hash64_vectorized_bloom_roundtrip():
     other = int_hash64_many(np.arange(50_000, 60_000, dtype=np.int64))
     fp = b.contains_many(other).mean()
     assert fp < 0.05, fp
+
+
+def test_seen_shard_cold_construction_over_dirty_spill_dir(tmp_path):
+    """A FRESH shard constructed over an existing spill_dir (actor
+    restart / resume before the first checkpoint) must load the runs
+    WITH filter coverage: before the r4 fix, contains_many (filter-first)
+    returned false negatives for every spilled URL while
+    test_and_set_many still refused to re-insert them — an internally
+    contradictory shard."""
+    d = str(tmp_path / "spill")
+    urls = [f"http://h/{i}" for i in range(120)]
+    s1 = SeenShard(0, capacity=4096, spill_dir=d, max_mem_urls=50)
+    s1.add_many(urls)
+    s2 = SeenShard(0, capacity=4096, spill_dir=d, max_mem_urls=50)
+    assert s2.contains_many(urls).all()
+    assert not s2.test_and_set_many(urls).any()
+    # the two membership views must agree
+    assert s2.contains_many(urls).all()
+
+
+def test_parse_robots_agent_groups():
+    """Consecutive User-agent lines form ONE group sharing the rules
+    that follow (robots spec); a second agent line must not wipe the
+    wildcard's membership in the group."""
+    from owlcrawler_ray.state.politeness import parse_robots
+
+    txt = "User-agent: *\nUser-agent: otherbot\nDisallow: /private\n"
+    assert parse_robots(txt) == ["/private"]
+    # a NEW group after rules resets membership
+    txt2 = ("User-agent: otherbot\nDisallow: /a\n"
+            "User-agent: *\nDisallow: /b\n")
+    assert parse_robots(txt2) == ["/b"]
+    # wildcard second in its group still counts
+    txt3 = "User-agent: x\nUser-agent: *\nDisallow: /c\n"
+    assert parse_robots(txt3) == ["/c"]
+
+
+def test_politeness_allowed_survives_malformed_url():
+    from owlcrawler_ray.state.politeness import (
+        PolitenessConfig, PolitenessGate)
+
+    g = PolitenessGate(PolitenessConfig())
+    assert g.allowed("http://host/x") is True
+    assert g.allowed("http://[x/p") is False  # malformed -> skip, not crash
+
+
+def test_frontier_remove_seqs_idempotent_and_foreign_safe():
+    """Replayed removes (after compaction re-armed the seq) and foreign
+    seqs must not corrupt the live counter."""
+    from owlcrawler_ray.state.frontier import FrontierShard, entries_table
+
+    f = FrontierShard(0)
+    f.push_table(entries_table(
+        ["u0", "u1", "u2"], ["h", "h", "h"], [0, 0, 0],
+        [0.0, 0.0, 0.0], [0, 1, 2]))
+    assert f.remove_seqs([1]) == 2
+    assert f.remove_seqs([1]) == 2   # replay after compaction: no-op
+    assert f.remove_seqs([99]) == 2  # foreign seq: no-op
+    assert f.peek(10).num_rows == 2
+    assert f.remove_seqs([0, 2]) == 0
+
+
+def test_codec_decode_raises_valueerror_on_all_corruption():
+    """decode()'s documented contract is ValueError — truncated headers,
+    unknown fmt codes and corrupt zlib streams must all normalize to it
+    (callers' catch lists depend on this; a real fetch hands decode
+    arbitrary bytes)."""
+    import numpy as np
+    import pytest
+
+    from owlcrawler_ray.functions import codec
+
+    good = codec.encode(
+        np.zeros((4, 4, 3), dtype=np.uint8), "png")
+    for bad in (
+        codec.MAGIC,                      # truncated header
+        codec.MAGIC + b"\xff" + good[5:], # unknown fmt code
+        good[:10] + b"garbage",           # corrupt zlib stream
+        b"not even close",                # foreign payload
+    ):
+        with pytest.raises(ValueError):
+            codec.decode(bad)
+
+
+def test_es_fragments_empty_terms_returns_nothing():
+    from owlcrawler_ray.functions.textops import es_fragments
+
+    assert es_fragments("hello world " * 5, ()) == []
