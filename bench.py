@@ -93,6 +93,10 @@ BENCH_QUERIES = [
     "sequence_packing",
     "pii_scrub",
     "unigram_rarity",
+    "dup_ngram_fraction",
+    "source_overlap",
+    "embedding_quantize",
+    "ann_topk_int8",
 ]
 
 

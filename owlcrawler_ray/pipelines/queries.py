@@ -40,7 +40,7 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import AggregateFn, Count, Max, Min, Sum
 
 
 def _p(sf_dir: str, table: str) -> str:
@@ -4756,6 +4756,351 @@ ORACLES["unigram_rarity"] = """
 """
 
 
+def q_dup_ngram_fraction(sf_dir: str):
+    """Duplicate-n-gram document signal (the RefinedWeb/MassiveText
+    "fraction of the doc that also appears elsewhere in the corpus"
+    rule, at word-5-gram granularity): per doc, the total 5-gram
+    occurrence count, the count of occurrences whose gram appears in
+    MORE THAN ONE distinct document, and the integer-exact flag
+    n_dup*5 >= n_grams (>=20% of the doc is cross-doc duplicated
+    material). Docs with <5 words have no 5-grams and are excluded,
+    matching the SQL. Intra-doc repetition is deliberately NOT counted
+    (gopher_repetition covers that axis): a gram repeated 10x inside
+    one doc but nowhere else is not "duplicate" here.
+
+    Scale shape: pass 1 emits per-batch DISTINCT (doc, gram) partials
+    collapsed to per-gram doc counts (a doc never spans batches, so the
+    vocabulary-sized groupby sums exact distinct-doc counts — grams,
+    not rows, cross the wire). Only the DUPLICATED slice of the
+    vocabulary (count > 1 — the near-dup tail, tiny next to the corpus)
+    reaches the driver and broadcasts once via ray.put; pass 2 scores
+    each batch with one is_in probe + bincount — no second shuffle.
+    For corpora whose duplicated-gram set outgrows a broadcast object,
+    the CMS sketch (functions/sketch.py) is the documented approximate
+    fallback, as with unigram_rarity."""
+    src = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gram_doc_partial(batch: pa.Table) -> pa.Table:
+        pos, grams, _counts = _word_ngrams(batch.column("text"), 5)
+        if not len(pos):
+            return pa.table({"g": pa.array([], pa.string()),
+                             "nd_p": pa.array([], pa.int64())})
+        u = (
+            pa.table({"p": pa.array(pos, pa.int64()), "g": grams})
+            .group_by(["p", "g"]).aggregate([])
+        )
+        return (
+            pa.table({"g": u.column("g")})
+            .group_by("g").aggregate([([], "count_all")])
+            .rename_columns(["g", "nd_p"])
+        )
+
+    dup = (
+        _widen(src, _p(sf_dir, "documents"))
+        .map_batches(gram_doc_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("g").aggregate(Sum("nd_p", alias_name="nd"))
+        .map_batches(
+            lambda t: pa.table(
+                {"g": t.column("g").filter(pc.greater(t.column("nd"), 1))}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # O(duplicated grams), not O(rows)
+    )
+    dref = ray.put(pa.array(dup["g"].to_numpy(), pa.string()))
+
+    def score(batch: pa.Table) -> pa.Table:
+        dset = ray.get(dref)
+        ids = batch.column("doc_id").to_numpy()
+        pos, grams, _counts = _word_ngrams(batch.column("text"), 5)
+        n_grams = np.zeros(len(ids), np.int64)
+        n_dup = np.zeros(len(ids), np.int64)
+        if len(pos):
+            np.add.at(n_grams, pos, 1)
+            hit = pc.is_in(grams, value_set=dset).to_numpy(
+                zero_copy_only=False)
+            np.add.at(n_dup, pos[hit], 1)
+        nz = np.nonzero(n_grams)[0]
+        return pa.table({
+            "doc_id": pa.array(ids[nz], pa.int64()),
+            "n_grams": pa.array(n_grams[nz]),
+            "n_dup": pa.array(n_dup[nz]),
+            "dup_heavy": pa.array(n_dup[nz] * 5 >= n_grams[nz]),
+        })
+
+    return src.map_batches(score, batch_format="pyarrow")
+
+
+QUERIES["dup_ngram_fraction"] = q_dup_ngram_fraction
+ORACLES["dup_ngram_fraction"] = """
+    WITH words AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(ws) - 4),
+                   i -> array_to_string(ws[i:i+4], ' '))) AS g
+        FROM words WHERE len(ws) >= 5
+    ),
+    d AS (SELECT DISTINCT doc_id, g FROM sh),
+    dup AS (SELECT g FROM d GROUP BY g HAVING count(*) > 1)
+    SELECT sh.doc_id,
+           count(*) AS n_grams,
+           CAST(count(dup.g) AS BIGINT) AS n_dup,
+           (count(dup.g) * 5 >= count(*)) AS dup_heavy
+    FROM sh LEFT JOIN dup ON sh.g = dup.g
+    GROUP BY sh.doc_id
+"""
+
+
+def q_source_overlap(sf_dir: str):
+    """Cross-source contamination matrix: for every pair of document
+    sources, the count of 3-word shingles (the minhash unit) present in
+    BOTH sources' distinct shingle sets, the union size, and the
+    Jaccard similarity — the data-governance view that tells you which
+    feeds are re-publishing each other before near-dup dedup even runs.
+    Docs with <3 words contribute nothing (matching the SQL); pairs
+    sharing zero shingles are omitted (inner join semantics).
+
+    Scale shape: ONE vocabulary-keyed groupby. Per batch, distinct
+    (shingle -> batch-local source set) partials; globally, a custom
+    set-union aggregate merges each gram's source set (carried as a
+    sorted '|'-joined string — idempotent under re-merge, Arrow-native
+    storage). The per-gram source sets then collapse to a
+    (source_set -> gram count) histogram whose cardinality is bounded
+    by min(vocabulary, 2^|sources|) — sources are a governance-scale
+    dimension (dozens), so per-batch histogram partials merge on the
+    driver in O(batches * 2^|sources|) and BOTH the pairwise
+    intersections and the per-source set sizes fall out of one
+    vectorized bit-test pass. Nothing proportional to the corpus (or
+    the vocabulary) reaches the driver and no join fan-out is ever
+    paid (measured at sf0.1/32cpu: self-join formulation 20.5 s, two
+    chained groupbys 8.1 s, this shape ~4 s)."""
+    src = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def shingle_partial(batch: pa.Table) -> pa.Table:
+        pos, grams, _counts = _word_ngrams(batch.column("text"), 3)
+        if not len(pos):
+            return pa.table({"g": pa.array([], pa.string()),
+                             "srcs": pa.array([], pa.string())})
+        srcs = batch.column("source")
+        if isinstance(srcs, pa.ChunkedArray):
+            srcs = srcs.combine_chunks()
+        pairs = (
+            pa.table({"source": srcs.take(pa.array(pos)), "g": grams})
+            .group_by(["g", "source"]).aggregate([])
+        )
+        # batch-local source set per gram, joined '|' — element order is
+        # irrelevant (the global union re-splits and re-sorts), so the
+        # Arrow list aggregation + binary_join stays fully vectorized
+        sets = pairs.group_by("g").aggregate([("source", "list")])
+        return pa.table({
+            "g": sets.column("g"),
+            "srcs": pc.binary_join(sets.column("source_list"), "|"),
+        })
+
+    union_sets = AggregateFn(
+        init=lambda k: "",
+        accumulate_block=lambda a, blk: "|".join(sorted(
+            (set(a.split("|")) if a else set()).union(
+                *(s.split("|") for s in blk.column("srcs").to_pylist())))),
+        merge=lambda a, b: "|".join(sorted(
+            (set(a.split("|")) if a else set())
+            | (set(b.split("|")) if b else set()))),
+        name="srcs_u",
+    )
+
+    def set_hist(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"srcs": t.column("srcs_u")})
+            .group_by("srcs").aggregate([([], "count_all")])
+            .rename_columns(["srcs", "n_p"])
+        )
+
+    hist: dict[str, int] = {}
+    for part in (
+        _widen(src, _p(sf_dir, "documents"))
+        .map_batches(shingle_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("g").aggregate(union_sets)
+        .map_batches(set_hist, batch_format="pyarrow")
+        .take_all()
+    ):  # O(batches * 2^|sources|), not O(vocabulary)
+        hist[part["srcs"]] = hist.get(part["srcs"], 0) + part["n_p"]
+
+    names = sorted({s for key in hist for s in key.split("|")})
+    bit = {s: i for i, s in enumerate(names)}
+    masks = np.array(
+        [sum(1 << bit[s] for s in key.split("|")) for key in hist],
+        np.int64)
+    cnts = np.array(list(hist.values()), np.int64)
+    sizes = {s: int(cnts @ ((masks >> bit[s]) & 1)) for s in names}
+    rows = []
+    for i, a in enumerate(names):
+        in_a = (masks >> bit[a]) & 1
+        for b in names[i + 1:]:
+            common = int(cnts @ (in_a & ((masks >> bit[b]) & 1)))
+            if common:
+                rows.append((a, b, common))
+    n_common = np.array([r[2] for r in rows], np.int64)
+    n_union = np.array(
+        [sizes[a] + sizes[b] - c for a, b, c in rows], np.int64)
+    return pa.table({
+        "src_a": pa.array([r[0] for r in rows], pa.string()),
+        "src_b": pa.array([r[1] for r in rows], pa.string()),
+        "n_common": pa.array(n_common),
+        "n_union": pa.array(n_union),
+        "jaccard": pa.array(n_common.astype(np.float64)
+                            / n_union.astype(np.float64)),
+    })
+
+
+QUERIES["source_overlap"] = q_source_overlap
+ORACLES["source_overlap"] = """
+    WITH words AS (SELECT source, str_split(text, ' ') AS ws FROM documents),
+    sh AS (
+        SELECT source,
+               unnest(list_transform(
+                   generate_series(1, len(ws) - 2),
+                   i -> array_to_string(ws[i:i+2], ' '))) AS g
+        FROM words WHERE len(ws) >= 3
+    ),
+    d AS (SELECT DISTINCT source, g FROM sh),
+    c AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+    i AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+        FROM d a JOIN d b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           n_common,
+           CAST(ca.n + cb.n - n_common AS BIGINT) AS n_union,
+           CAST(n_common AS DOUBLE)
+               / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
+    FROM i
+    JOIN c ca ON ca.source = i.src_a
+    JOIN c cb ON cb.source = i.src_b
+"""
+
+
+def _list_flat_f64(vecs):
+    """(flat_float64_values, counts, row_of, dim0) for a list<float>
+    column, rebased for sliced inputs like _word_ngrams does."""
+    if isinstance(vecs, pa.ChunkedArray):
+        vecs = vecs.combine_chunks()
+    offs = np.asarray(vecs.offsets, dtype=np.int64)
+    vals = vecs.values.slice(offs[0], offs[-1] - offs[0]).to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    offs = offs - offs[0]
+    counts = np.diff(offs)
+    row_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    dim = np.arange(len(vals), dtype=np.int64) - np.repeat(offs[:-1], counts)
+    return vals, counts, row_of, dim
+
+
+def q_embedding_quantize(sf_dir: str):
+    """Symmetric int8 embedding quantization — the standard ANN-index
+    compression step (4x smaller vectors, matmul stays exact enough for
+    candidate generation; ann_topk_int8 is the recall-gated consumer).
+    Per vector: scale = max(|x|) (a float32-exact value carried as
+    double), q_i = floor(x_i * 127 / scale + 0.5) — every arithmetic op
+    is a single correctly-rounded IEEE double op in BOTH engines, so the
+    integer codes and the scale hash-match the SQL bit-exactly.
+    Output is flattened to (vec_id, dim, q, scale) rows; zero vectors
+    quantize to all-zero codes with scale 0.
+
+    Scale shape: one stateless vectorized map_batches pass over the
+    pruned (vec_id, embedding) read — flat-value numpy kernels over the
+    Arrow list offsets, no per-row loop, nothing shuffles."""
+    src = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def quant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        vals, counts, row_of, dim = _list_flat_f64(batch.column("embedding"))
+        scale = np.zeros(len(ids), np.float64)
+        np.maximum.at(scale, row_of, np.abs(vals))
+        s = scale[row_of]
+        safe = np.where(s == 0.0, 1.0, s)
+        q = np.where(s == 0.0, 0.0,
+                     np.floor(vals * 127.0 / safe + 0.5)).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, counts), pa.int64()),
+            "dim": pa.array(dim + 1, pa.int64()),  # 1-based (SQL ordinality)
+            "q": pa.array(q, pa.int64()),
+            "scale": pa.array(s, pa.float64()),
+        })
+
+    return src.map_batches(quant, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+QUERIES["embedding_quantize"] = q_embedding_quantize
+ORACLES["embedding_quantize"] = """
+    WITH e AS (
+        SELECT vec_id, embedding,
+               CAST(list_max(list_transform(embedding, x -> abs(x)))
+                    AS DOUBLE) AS scale
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS dim,
+           unnest(list_transform(
+               embedding,
+               x -> CASE WHEN scale = 0 THEN 0
+                    ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+                              AS BIGINT) END)) AS q,
+           scale
+    FROM e
+"""
+
+
+def q_ann_topk_int8(sf_dir: str):
+    """Quantized brute-force ANN: ann_topk's broadcast-query shape, but
+    the corpus side is symmetric int8 (embedding_quantize's codes built
+    inline per batch — at real scale the codes are the STORED index and
+    the read ships 4x fewer bytes). Scoring dequantizes q*scale/127 and
+    runs the same float64 matmul + per-batch top-k prune + tiny global
+    sort. Not SQL-oracled (approximate by construction); the pytest
+    gate asserts recall>=0.9 against the exact ann_topk oracle."""
+    k = 20
+    emb = pq.read_table(_p(sf_dir, "embeddings"))
+    qvec = np.array(emb.column("embedding")[0].as_py(), dtype=np.float64)
+    ref = ray.put(qvec / np.linalg.norm(qvec))
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(ref)
+        ids = batch.column("vec_id").to_numpy()
+        vals, counts, row_of, _dim = _list_flat_f64(
+            batch.column("embedding"))
+        scale = np.zeros(len(ids), np.float64)
+        np.maximum.at(scale, row_of, np.abs(vals))
+        s = np.where(scale == 0.0, 1.0, scale)[row_of]
+        codes = np.floor(vals * 127.0 / s + 0.5)  # the int8 index codes
+        mat = (codes * s / 127.0).reshape(len(ids), -1)
+        norms = np.linalg.norm(mat, axis=1)
+        cos = (mat @ q) / np.maximum(norms, 1e-12)
+        t = pa.table({
+            "vec_id": batch.column("vec_id"),
+            "label": batch.column("label"),
+            "cos": cos,
+        }).filter(pc.not_equal(batch.column("vec_id"), 0))
+        idx = pc.select_k_unstable(
+            t, k=min(k, t.num_rows),
+            sort_keys=[("cos", "descending"), ("vec_id", "ascending")],
+        )
+        return t.take(idx)
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["cos", "vec_id"], descending=[True, False])
+        .limit(k)
+        .select_columns(["vec_id", "label"])
+    )
+
+
+QUERIES["ann_topk_int8"] = q_ann_topk_int8
+
+
 # ---------------------------------------------------------------------------
 # Driver scoreboard ordering
 # ---------------------------------------------------------------------------
@@ -4778,7 +5123,7 @@ _ROWS_ONLY_PRIORITY = [
     "images_decode_stats", "images_phash_pairs",
     "images_thumbnails", "video_frame_sample", "audio_features",
     "sample_fraction", "image_dup_clusters", "search_highlights",
-    "ann_ivf", "ann_ivf_centroids",
+    "ann_ivf", "ann_ivf_centroids", "ann_topk_int8",
     "hll_distinct_orders", "cms_frequent_words",
 ]
 

@@ -66,6 +66,20 @@ def test_ann_ivf_recall_vs_brute(ray_session):
     assert recall >= 0.5, f"IVF/LSH recall {recall} too low"
 
 
+def test_ann_int8_recall_vs_brute(ray_session):
+    """int8-quantized brute force must nearly reproduce the exact top-k:
+    symmetric 8-bit codes perturb cosines by ~1/254 of the max-abs per
+    vector, so on 64-dim embeddings the top-20 should survive almost
+    intact (>=0.9), and the scores must stay within the quantization
+    error bound."""
+    from owlcrawler_ray.pipelines.queries import q_ann_topk, q_ann_topk_int8
+
+    brute = set(q_ann_topk(SF).to_pandas()["vec_id"])
+    quant = set(q_ann_topk_int8(SF).to_pandas()["vec_id"])
+    recall = len(brute & quant) / len(brute)
+    assert recall >= 0.9, f"int8 recall {recall} too low"
+
+
 def test_images_decode_stats(ray_session):
     from owlcrawler_ray.pipelines.queries import q_images_decode_stats
 
