@@ -1,0 +1,121 @@
+"""Edge semantics for the round-4 continuation operators, checked against
+tiny hand-built corpora and naive Python references (independent of the
+DuckDB oracles, which cover the bulk corpus): duplicate-ngram fraction
+must NOT count intra-doc repetition, source overlap must match brute-force
+set math, and int8 quantization must respect its error bound on every
+element of the real table."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmp_path, rows):
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+        }),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def _ngrams(text, n):
+    ws = text.split(" ")
+    return [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+
+
+def test_dup_ngram_fraction_semantics(ray_session, tmp_path):
+    from owlcrawler_ray.pipelines.queries import q_dup_ngram_fraction
+
+    rows = [
+        # intra-doc repeated 5-gram, unique corpus-wide -> n_dup must be 0
+        (0, "p q r s t p q r s t", "a"),
+        # docs 1 and 2 share the 5-gram 'v w x y z'
+        (1, "v w x y z one two three", "a"),
+        (2, "zero v w x y z", "b"),
+        # under 5 words -> excluded entirely
+        (3, "too few words here", "b"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = {
+        r["doc_id"]: r
+        for r in q_dup_ngram_fraction(sf).take_all()
+    }
+
+    # naive reference: a gram is duplicated iff it appears in >1 distinct doc
+    docs = {i: _ngrams(t, 5) for i, t, _ in rows if len(t.split(" ")) >= 5}
+    by_gram = {}
+    for i, gs in docs.items():
+        for g in set(gs):
+            by_gram.setdefault(g, set()).add(i)
+    dup = {g for g, s in by_gram.items() if len(s) > 1}
+    assert set(got) == set(docs)
+    for i, gs in docs.items():
+        n_dup = sum(g in dup for g in gs)
+        assert got[i]["n_grams"] == len(gs)
+        assert got[i]["n_dup"] == n_dup, f"doc {i}"
+        assert got[i]["dup_heavy"] == (n_dup * 5 >= len(gs))
+    assert got[0]["n_dup"] == 0  # intra-doc repetition is not duplication
+
+
+def test_source_overlap_matches_brute_force(ray_session, tmp_path):
+    from owlcrawler_ray.pipelines.queries import q_source_overlap
+
+    rows = [
+        (0, "a b c d e", "s1"),
+        (1, "b c d f", "s1"),
+        (2, "b c d e g", "s2"),
+        (3, "x y z", "s3"),      # shares nothing
+        (4, "a b", "s2"),        # <3 words -> contributes nothing
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = q_source_overlap(sf).to_pandas().set_index(["src_a", "src_b"])
+
+    sets = {}
+    for _, t, s in rows:
+        if len(t.split(" ")) >= 3:
+            sets.setdefault(s, set()).update(_ngrams(t, 3))
+    names = sorted(sets)
+    want = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            common = len(sets[a] & sets[b])
+            if common:
+                want[(a, b)] = (common, len(sets[a] | sets[b]))
+    assert set(got.index) == set(want)
+    for key, (common, union) in want.items():
+        assert got.loc[key, "n_common"] == common
+        assert got.loc[key, "n_union"] == union
+        assert got.loc[key, "jaccard"] == pytest.approx(common / union)
+
+
+def test_embedding_quantize_error_bound(ray_session):
+    """floor(x*127/s + 0.5) must land within half a quantization step of
+    x*127/s, so dequantization error is bounded by scale/254 per element
+    (plus double-rounding slack) — the invariant ann_topk_int8's recall
+    rests on."""
+    from owlcrawler_ray.pipelines.queries import q_embedding_quantize
+
+    q = q_embedding_quantize(SF).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    flat = {}
+    for vid, vec in zip(emb.column("vec_id").to_pylist(),
+                        emb.column("embedding").to_pylist()):
+        for d, x in enumerate(vec, start=1):
+            flat[(vid, d)] = float(x)
+    assert len(q) == len(flat)
+    err = np.abs(
+        q["q"].to_numpy() * q["scale"].to_numpy() / 127.0
+        - np.array([flat[k] for k in zip(q["vec_id"], q["dim"])])
+    )
+    bound = q["scale"].to_numpy() / 254.0 + 1e-9
+    assert (err <= bound).all(), float((err - bound).max())
+    assert q["q"].abs().max() <= 127  # int8-representable codes
