@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "source_overlap",
     "embedding_quantize",
     "ann_topk_int8",
+    "ann_pq",
 ]
 
 

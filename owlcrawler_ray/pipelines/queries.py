@@ -5101,6 +5101,90 @@ def q_ann_topk_int8(sf_dir: str):
 QUERIES["ann_topk_int8"] = q_ann_topk_int8
 
 
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ANN (the FAISS-style IVF+PQ memory path:
+    16 subspaces x 32 centroids = 16 bytes/vector vs 256 for float32).
+    Codebooks train like ann_ivf_centroids' coarse quantizer — seeded
+    Lloyd's k-means per subspace over a BOUNDED sample — and broadcast
+    once. Each batch encodes to codes (one (b x ksub) matmul per
+    subspace), scores with the asymmetric-distance LUT (query-to-
+    centroid dot tables, one gather-sum per subspace), keeps an 8k
+    candidate pool on the PQ score and reranks those few EXACTLY with
+    the original vectors it already holds — the standard ADC+rerank
+    recipe, so per-batch exact work is O(candidates), not O(rows).
+    Not SQL-expressible (approximate); the pytest gate asserts recall
+    >= 0.6 vs exact brute force (uniform vectors are PQ's adversarial
+    case, same honest stance as the IVF gates; parameter sweep in
+    STATS.md — the single-pool worst case measured 0.85 at sf0.1,
+    and per-batch pools only add candidates)."""
+    m, ksub, k, iters = 16, 32, 20, 8
+    pf = pq.ParquetFile(_p(sf_dir, "embeddings"))
+    sample = pf.read_row_group(0, columns=["embedding"]).column("embedding")
+    smat = np.asarray(sample.to_pylist()[:2048], dtype=np.float64)
+    smat = smat / np.maximum(
+        np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
+    d = smat.shape[1]
+    dsub = d // m
+    rng = np.random.default_rng(4242)
+    books = []
+    for s in range(m):
+        sub = smat[:, s * dsub:(s + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=min(ksub, len(sub)),
+                              replace=False)]
+        for _ in range(iters):  # Lloyd's on the subspace sample
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                msk = assign == c
+                if msk.any():
+                    cent[c] = sub[msk].mean(axis=0)
+        books.append(cent)
+    qvec = np.asarray(sample[0].as_py(), dtype=np.float64)
+    qn = qvec / np.linalg.norm(qvec)
+    luts = np.stack([qn[s * dsub:(s + 1) * dsub] @ books[s].T
+                     for s in range(m)])  # (m, ksub) dot tables
+    ref = ray.put((qn, books, luts))
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        q, bks, lut = ray.get(ref)
+        ids = batch.column("vec_id").to_numpy()
+        vals, _counts, _row_of, _dim = _list_flat_f64(
+            batch.column("embedding"))
+        mat = vals.reshape(len(ids), -1)
+        nmat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        approx = np.zeros(len(ids))
+        for s in range(m):
+            sub = nmat[:, s * dsub:(s + 1) * dsub]
+            # argmin ||x - c||^2 == argmax (x.c - ||c||^2/2)
+            scores = sub @ bks[s].T - 0.5 * (bks[s] ** 2).sum(axis=1)
+            approx += lut[s][np.argmax(scores, axis=1)]
+        cand = np.argsort(-approx)
+        cand = cand[ids[cand] != 0][:8 * k]  # PQ candidate pool
+        cos = nmat[cand] @ q  # exact rerank of the pool only
+        t = pa.table({
+            "vec_id": pa.array(ids[cand], pa.int64()),
+            "label": batch.column("label").take(pa.array(cand)),
+            "cos": cos,
+        })
+        idx = pc.select_k_unstable(
+            t, k=min(k, t.num_rows),
+            sort_keys=[("cos", "descending"), ("vec_id", "ascending")],
+        )
+        return t.take(idx)
+
+    return (
+        ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["cos", "vec_id"], descending=[True, False])
+        .limit(k)
+        .select_columns(["vec_id", "label"])
+    )
+
+
+QUERIES["ann_pq"] = q_ann_pq
+
+
 # ---------------------------------------------------------------------------
 # Driver scoreboard ordering
 # ---------------------------------------------------------------------------
@@ -5123,7 +5207,7 @@ _ROWS_ONLY_PRIORITY = [
     "images_decode_stats", "images_phash_pairs",
     "images_thumbnails", "video_frame_sample", "audio_features",
     "sample_fraction", "image_dup_clusters", "search_highlights",
-    "ann_ivf", "ann_ivf_centroids", "ann_topk_int8",
+    "ann_ivf", "ann_ivf_centroids", "ann_topk_int8", "ann_pq",
     "hll_distinct_orders", "cms_frequent_words",
 ]
 

@@ -80,6 +80,18 @@ def test_ann_int8_recall_vs_brute(ray_session):
     assert recall >= 0.9, f"int8 recall {recall} too low"
 
 
+def test_ann_pq_recall_vs_brute(ray_session):
+    """ADC+exact-rerank product quantization must keep most of the exact
+    top-20; uniform vectors are PQ's adversarial case, so the gate
+    matches the IVF paths' honest >=0.6 stance."""
+    from owlcrawler_ray.pipelines.queries import q_ann_pq, q_ann_topk
+
+    brute = set(q_ann_topk(SF).to_pandas()["vec_id"])
+    pq_ = set(q_ann_pq(SF).to_pandas()["vec_id"])
+    recall = len(brute & pq_) / len(brute)
+    assert recall >= 0.6, f"PQ recall {recall} too low"
+
+
 def test_images_decode_stats(ray_session):
     from owlcrawler_ray.pipelines.queries import q_images_decode_stats
 
