@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "embedding_quantize",
     "ann_topk_int8",
     "ann_pq",
+    "events_hourly_users_hll",
 ]
 
 

@@ -80,6 +80,31 @@ class CountMinSketch:
         )
 
 
+def grouped_hll_registers(
+    group_idx: np.ndarray, hashes: np.ndarray, n_groups: int, p: int
+) -> np.ndarray:
+    """One HLL register row PER GROUP in a single vectorized pass — the
+    windowed-sketch building block (per-window distinct counts without
+    per-group Python loops). Returns an (n_groups, 2^p) uint8 matrix;
+    row g register-wise-max-merges with any other partial for group g."""
+    m = 1 << p
+    regs = np.zeros((n_groups, m), dtype=np.uint8)
+    if not len(hashes):
+        return regs
+    h = hashes.astype(np.uint64)
+    idx = (h & np.uint64(m - 1)).astype(np.int64)
+    w = h >> np.uint64(p)
+    lsb = w & (~w + np.uint64(1))  # exact power of two -> exact log2
+    rank = np.where(
+        w == 0,
+        64 - p + 1,
+        np.log2(np.maximum(lsb, np.uint64(1)).astype(np.float64)).astype(
+            np.int64) + 1,
+    ).astype(np.uint8)
+    np.maximum.at(regs, (np.asarray(group_idx, np.int64), idx), rank)
+    return regs
+
+
 class HyperLogLog:
     """HLL with 2^p registers. add() is vectorized; merge is elementwise
     max; estimate uses the standard bias-corrected harmonic mean with

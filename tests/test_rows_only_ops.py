@@ -80,6 +80,49 @@ def test_ann_int8_recall_vs_brute(ray_session):
     assert recall >= 0.9, f"int8 recall {recall} too low"
 
 
+def test_events_hourly_users_hll_accuracy(ray_session):
+    """Per-window HLL distinct-user estimates must stay within
+    max(2, 10%·n) of the exact per-hour distinct for EVERY window —
+    ~3 sigma of p=10 HLL's 3.3% standard error (the small windows ride
+    the near-exact linear-counting branch)."""
+    import duckdb
+
+    from owlcrawler_ray.pipelines.queries import q_events_hourly_users_hll
+
+    got = q_events_hourly_users_hll(SF).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT date_trunc('hour', ts) AS hour, "
+        f"count(DISTINCT user_id) AS n "
+        f"FROM '{SF}/events.parquet' GROUP BY 1"
+    ).df()
+    m = got.merge(want, on="hour", how="outer")
+    assert not m.isna().any().any()  # same window set on both sides
+    ae = (m["n_users_hll"] - m["n"]).abs()
+    bound = (m["n"] * 0.10).clip(lower=2)
+    bad = m[ae > bound]
+    assert bad.empty, bad.head()
+
+
+def test_grouped_hll_registers_match_per_group_sketches():
+    """The vectorized grouped-register pass must produce byte-identical
+    registers to building one HyperLogLog per group serially."""
+    import numpy as _np
+
+    from owlcrawler_ray.functions.sketch import (
+        HyperLogLog, grouped_hll_registers, hash64)
+
+    rng = _np.random.default_rng(99)
+    groups = rng.integers(0, 7, size=500)
+    vals = [f"user-{v}" for v in rng.integers(0, 120, size=500)]
+    h = hash64(vals)
+    regs = grouped_hll_registers(groups, h, 7, p=6)
+    for g in range(7):
+        ref = HyperLogLog(6)
+        ref.add_hashes(h[groups == g])
+        assert (regs[g] == ref.regs).all(), g
+
+
 def test_ann_pq_recall_vs_brute(ray_session):
     """ADC+exact-rerank product quantization must keep most of the exact
     top-20; uniform vectors are PQ's adversarial case, so the gate
