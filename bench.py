@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "ann_topk_int8",
     "ann_pq",
     "events_hourly_users_hll",
+    "customer_order_counts",
 ]
 
 

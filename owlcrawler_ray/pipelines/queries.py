@@ -711,6 +711,50 @@ def q_broadcast_join(sf_dir: str):
     return ds.map_batches(join, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_customer_order_counts(sf_dir: str):
+    """LEFT OUTER join with missing-key semantics (the §2.5 join family's
+    null-preserving member): every customer with their order count,
+    ZERO for customers who never ordered — the rows an inner join would
+    silently drop. The fact side pre-aggregates to per-key partial
+    counts inside map_batches before the shuffle (the combiner rule), so
+    the hash-partitioned outer join moves O(distinct custkeys), not
+    O(orders); null fill is one vectorized coalesce after the join."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by("o_custkey").aggregate([([], "count_all")])
+            .rename_columns(["o_custkey", "n_p"])
+        )
+
+    counts = (
+        orders.map_batches(count_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("o_custkey").aggregate(Sum("n_p", alias_name="n"))
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def fill(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch.column("c_custkey"),
+            "c_name": batch.column("c_name"),
+            "n_orders": pc.fill_null(
+                batch.column("n").cast(pa.int64()), 0),
+        })
+
+    return (
+        cust.join(
+            counts, join_type="left_outer",
+            on=("c_custkey",), right_on=("o_custkey",),
+            num_partitions=_join_width(_table_bytes(sf_dir, "customer")),
+        )
+        .map_batches(fill, batch_format="pyarrow")
+    )
+
+
+# (registered with ORACLES after the registry dict literal below)
+
+
 # ---------------------------------------------------------------------------
 # streaming-shaped: hourly windowed aggregate
 # ---------------------------------------------------------------------------
@@ -5256,6 +5300,14 @@ def q_ann_pq(sf_dir: str):
 
 
 QUERIES["ann_pq"] = q_ann_pq
+
+QUERIES["customer_order_counts"] = q_customer_order_counts
+ORACLES["customer_order_counts"] = """
+    SELECT c.c_custkey, c.c_name,
+           CAST(count(o.o_custkey) AS BIGINT) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+"""
 
 
 # ---------------------------------------------------------------------------
