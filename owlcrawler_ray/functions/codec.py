@@ -90,6 +90,10 @@ def decode(buf: bytes) -> tuple[np.ndarray, str, int, int]:
     try:
         fmt = _FMT_NAME[buf[4]]
         s = buf[5]
+        if s > 7:  # encode() only writes shifts in {0,1,2}; a uint8
+            # pixel has 8 bits, so s>7 is definitively corrupt — catch
+            # it here instead of returning garbage pixels
+            raise ValueError(f"shift byte {s} out of range")
         w = int.from_bytes(buf[6:8], "little")
         h = int.from_bytes(buf[8:10], "little")
         q = np.frombuffer(

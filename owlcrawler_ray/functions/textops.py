@@ -142,9 +142,11 @@ def es_fragments(
 
     Returns [(score, start_offset, highlighted_fragment)].
     """
+    # an empty alternation branch compiles to '' and matches a
+    # zero-width hit at EVERY offset — garbage fragments; drop empty
+    # terms individually (not just the all-empty case)
+    terms = [t for t in terms if t]
     if not terms:
-        # an empty alternation compiles to '' and matches a zero-width
-        # hit at EVERY offset — garbage fragments; no terms, no fragments
         return []
     term_re = re.compile("|".join(re.escape(t) for t in terms))
     phrase_re = (

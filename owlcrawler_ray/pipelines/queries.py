@@ -4969,6 +4969,10 @@ ORACLES["dup_ngram_fraction"] = """
 """
 
 
+_SRC_SEP = "\x1f"    # set-element separator (ASCII unit separator)
+_SRC_NONE = "\x00"   # AggregateFn init sentinel: "no sources seen yet"
+
+
 def q_source_overlap(sf_dir: str):
     """Cross-source contamination matrix: for every pair of document
     sources, the count of 3-word shingles (the minhash unit) present in
@@ -4981,8 +4985,9 @@ def q_source_overlap(sf_dir: str):
     Scale shape: ONE vocabulary-keyed groupby. Per batch, distinct
     (shingle -> batch-local source set) partials; globally, a custom
     set-union aggregate merges each gram's source set (carried as a
-    sorted '|'-joined string — idempotent under re-merge, Arrow-native
-    storage). The per-gram source sets then collapse to a
+    sorted '\\x1f'-joined string — idempotent under re-merge,
+    Arrow-native storage; a source name containing the unit separator
+    is rejected up front rather than silently split into phantoms). The per-gram source sets then collapse to a
     (source_set -> gram count) histogram whose cardinality is bounded
     by min(vocabulary, 2^|sources|) — sources are a governance-scale
     dimension (dozens), so per-batch histogram partials merge on the
@@ -5002,27 +5007,36 @@ def q_source_overlap(sf_dir: str):
         srcs = batch.column("source")
         if isinstance(srcs, pa.ChunkedArray):
             srcs = srcs.combine_chunks()
+        if pc.any(pc.match_substring(srcs, _SRC_SEP)).as_py():
+            raise ValueError(
+                "source_overlap: source name contains the \\x1f set "
+                "separator — set encoding would split it into phantoms")
         pairs = (
             pa.table({"source": srcs.take(pa.array(pos)), "g": grams})
             .group_by(["g", "source"]).aggregate([])
         )
-        # batch-local source set per gram, joined '|' — element order is
-        # irrelevant (the global union re-splits and re-sorts), so the
+        # batch-local source set per gram, '\x1f'-joined — element order
+        # is irrelevant (the global union re-splits and re-sorts), so the
         # Arrow list aggregation + binary_join stays fully vectorized
         sets = pairs.group_by("g").aggregate([("source", "list")])
         return pa.table({
             "g": sets.column("g"),
-            "srcs": pc.binary_join(sets.column("source_list"), "|"),
+            "srcs": pc.binary_join(sets.column("source_list"), _SRC_SEP),
         })
 
+    # init sentinel is a value no joined set can equal (sets join to ""
+    # only for the single-empty-source set, which is legal data), so an
+    # empty-string source name round-trips instead of vanishing
+    def _to_set(a: str) -> set:
+        return set() if a == _SRC_NONE else set(a.split(_SRC_SEP))
+
     union_sets = AggregateFn(
-        init=lambda k: "",
-        accumulate_block=lambda a, blk: "|".join(sorted(
-            (set(a.split("|")) if a else set()).union(
-                *(s.split("|") for s in blk.column("srcs").to_pylist())))),
-        merge=lambda a, b: "|".join(sorted(
-            (set(a.split("|")) if a else set())
-            | (set(b.split("|")) if b else set()))),
+        init=lambda k: _SRC_NONE,
+        accumulate_block=lambda a, blk: _SRC_SEP.join(sorted(
+            _to_set(a).union(
+                *(s.split(_SRC_SEP)
+                  for s in blk.column("srcs").to_pylist())))),
+        merge=lambda a, b: _SRC_SEP.join(sorted(_to_set(a) | _to_set(b))),
         name="srcs_u",
     )
 
@@ -5044,10 +5058,10 @@ def q_source_overlap(sf_dir: str):
     ):  # O(batches * 2^|sources|), not O(vocabulary)
         hist[part["srcs"]] = hist.get(part["srcs"], 0) + part["n_p"]
 
-    names = sorted({s for key in hist for s in key.split("|")})
+    names = sorted({s for key in hist for s in key.split(_SRC_SEP)})
     bit = {s: i for i, s in enumerate(names)}
     masks = np.array(
-        [sum(1 << bit[s] for s in key.split("|")) for key in hist],
+        [sum(1 << bit[s] for s in key.split(_SRC_SEP)) for key in hist],
         np.int64)
     cnts = np.array(list(hist.values()), np.int64)
     sizes = {s: int(cnts @ ((masks >> bit[s]) & 1)) for s in names}
@@ -5225,8 +5239,9 @@ def q_ann_pq(sf_dir: str):
     Lloyd's k-means per subspace over a BOUNDED sample — and broadcast
     once. Each batch encodes to codes (one (b x ksub) matmul per
     subspace), scores with the asymmetric-distance LUT (query-to-
-    centroid dot tables, one gather-sum per subspace), keeps an 8k
-    candidate pool on the PQ score and reranks those few EXACTLY with
+    centroid dot tables, one gather-sum per subspace), keeps an 8*k
+    (= 160 at k=20; NOT 8192) candidate pool on the PQ score and
+    reranks those few EXACTLY with
     the original vectors it already holds — the standard ADC+rerank
     recipe, so per-batch exact work is O(candidates), not O(rows).
     Not SQL-expressible (approximate); the pytest gate asserts recall

@@ -82,6 +82,17 @@ def test_decode_rejects_foreign_bytes():
         codec.decode(b"\x89PNG\r\n\x1a\nnotours")
 
 
+def test_decode_rejects_corrupt_shift_byte():
+    """encode() only writes shifts in {0,1,2}; a payload whose shift
+    byte is flipped past 7 must raise (the documented single exception
+    type), not decode to garbage pixels."""
+    pix = codec.synth_pixels("shift-corrupt", 8, 8)
+    buf = bytearray(codec.encode(pix, "jpeg"))
+    buf[5] = 200
+    with pytest.raises(ValueError, match="shift"):
+        codec.decode(bytes(buf))
+
+
 def test_codec_roundtrip_property():
     """Property: any uint8 RGB image of any small dimensions round-trips
     through every codec profile with the profile's guarantee — lossless

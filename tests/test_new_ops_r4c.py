@@ -97,6 +97,33 @@ def test_source_overlap_matches_brute_force(ray_session, tmp_path):
         assert got.loc[key, "jaccard"] == pytest.approx(common / union)
 
 
+def test_source_overlap_odd_source_names(ray_session, tmp_path):
+    """Source names containing '|' (the OLD set separator) and the empty
+    string are real identities, not phantoms: 'feed|mirror' must appear
+    as ONE source in the matrix, and '' must survive the set encoding."""
+    from owlcrawler_ray.pipelines.queries import q_source_overlap
+
+    rows = [
+        (0, "a b c d", "feed|mirror"),
+        (1, "b c d e", ""),
+        (2, "c d e f", "plain"),
+    ]
+    got = q_source_overlap(_write_docs(tmp_path, rows)).to_pandas()
+    names = set(got["src_a"]) | set(got["src_b"])
+    assert names == {"feed|mirror", "", "plain"}
+    # grams: feed|mirror={abc,bcd}, ''={bcd,cde}, plain={cde,def}
+    row = got.set_index(["src_a", "src_b"]).loc[("", "feed|mirror")]
+    assert row["n_common"] == 1 and row["n_union"] == 3
+
+
+def test_source_overlap_rejects_separator_in_name(ray_session, tmp_path):
+    from owlcrawler_ray.pipelines.queries import q_source_overlap
+
+    sf = _write_docs(tmp_path, [(0, "a b c d", "bad\x1fname")])
+    with pytest.raises(Exception, match="separator"):
+        q_source_overlap(sf)
+
+
 def test_embedding_quantize_error_bound(ray_session):
     """floor(x*127/s + 0.5) must land within half a quantization step of
     x*127/s, so dequantization error is bounded by scale/254 per element

@@ -323,6 +323,12 @@ def test_es_fragments_golden():
     assert es_fragments("window merge", ("window", "merge"))[0][0] == 12
     assert es_fragments("merge then window", ("window", "merge"))[0][0] == 2
     assert es_fragments("no hits here", ("window", "merge")) == []
+    # empty terms (whole tuple or individual elements) never produce the
+    # zero-width-match garbage: "" among terms is dropped, not compiled
+    assert es_fragments(text, ()) == []
+    assert es_fragments(text, ("", "")) == []
+    assert es_fragments(text, ("window", "", "merge")) == es_fragments(
+        text, ("window", "merge"))
 
 
 def test_search_highlights_contract(ray_session):
