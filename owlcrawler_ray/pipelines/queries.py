@@ -156,20 +156,37 @@ def _bucket_merge(ds, keys: list[str], aggs: list[tuple[str, str]],
             B = 8
 
     def route(t: pa.Table) -> pa.Table:
+        # "_route_b", not "bucket": callers' tables may carry their own
+        # bucket column (the LSH band key does)
         if t.num_rows == 0:
-            return t.append_column("bucket", pa.array([], pa.int64()))
-        return t.append_column("bucket", _route_hash(t.column(keys[0]), B))
+            return t.append_column("_route_b", pa.array([], pa.int64()))
+        return t.append_column("_route_b", _route_hash(t.column(keys[0]), B))
 
     def merge(t: pa.Table) -> pa.Table:
         return (
-            t.drop_columns(["bucket"]).group_by(keys).aggregate(aggs)
+            t.drop_columns(["_route_b"]).group_by(keys).aggregate(aggs)
             .rename_columns(keys + out)
         )
 
     return (
         ds.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket").map_groups(merge, batch_format="pyarrow")
+        .groupby("_route_b").map_groups(merge, batch_format="pyarrow")
     )
+
+
+def _hot_rows(counts, n_min: int = 2) -> list[dict]:
+    """take_all of the ``n >= n_min`` slice of a (key, n) count Dataset.
+    The filter runs TASK-side (only the hot slice reaches the driver,
+    as before) but via map_batches, tolerant of the schema-less EMPTY
+    blocks a map_groups stage emits for row-free sort partitions
+    (Dataset.filter(expr=...) would raise on them; a _bucket_merge
+    output at small sf always has some)."""
+    def hot(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return t.filter(pc.greater_equal(t.column("n"), n_min))
+
+    return counts.map_batches(hot, batch_format="pyarrow").take_all()
 
 
 _LOG = logging.getLogger("owlcrawler_ray.queries")
@@ -1080,12 +1097,11 @@ def q_minhash_lsh_pairs(sf_dir: str):
     # mostly-singleton groups — per-group task overhead swamps the work);
     # buckets with >=2 members are rare, so they broadcast as a tiny set
     # and candidate pairs are assembled from the filtered rows
-    counts = (
-        bands.map_batches(bucket_partial, batch_format="pyarrow")
-        .groupby("bucket")
-        .aggregate(Sum("n_p", alias_name="n"))
+    counts = _bucket_merge(
+        bands.map_batches(bucket_partial, batch_format="pyarrow"),
+        keys=["bucket"], aggs=[("n_p", "sum")], out=["n"],
     )
-    hot_counts = counts.filter(expr="n >= 2").take_all()
+    hot_counts = _hot_rows(counts)
     hot = {r["bucket"] for r in hot_counts}
     if not hot:
         return pa.table(
@@ -1457,11 +1473,11 @@ def q_embedding_near_dup(sf_dir: str):
             .rename_columns(["bucket", "n_p"])
         )
 
-    counts = (
-        coded.map_batches(bucket_partial, batch_format="pyarrow")
-        .groupby("bucket").aggregate(Sum("n_p", alias_name="n"))
+    counts = _bucket_merge(
+        coded.map_batches(bucket_partial, batch_format="pyarrow"),
+        keys=["bucket"], aggs=[("n_p", "sum")], out=["n"],
     )
-    hot_counts = counts.filter(expr="n >= 2").take_all()
+    hot_counts = _hot_rows(counts)
     hot = {r["bucket"] for r in hot_counts}
     if not hot:
         return _EMB_PAIR_SCHEMA.empty_table()
@@ -1855,16 +1871,16 @@ def q_images_phash_pairs(sf_dir: str):
             .rename_columns(["bucket", "n_p"])
         )
 
-    counts = (
-        banded.map_batches(bucket_partial, batch_format="pyarrow")
-        .groupby("bucket").aggregate(Sum("n_p", alias_name="n"))
+    counts = _bucket_merge(
+        banded.map_batches(bucket_partial, batch_format="pyarrow"),
+        keys=["bucket"], aggs=[("n_p", "sum")], out=["n"],
     )
     empty = pa.table(
         {"img_a": pa.array([], pa.string()),
          "img_b": pa.array([], pa.string()),
          "n_bands": pa.array([], pa.int64())}
     )
-    hot_counts = counts.filter(expr="n >= 2").take_all()
+    hot_counts = _hot_rows(counts)
     hot = {r["bucket"] for r in hot_counts}
     if not hot:
         return empty
@@ -5066,7 +5082,6 @@ ORACLES["dup_ngram_fraction"] = """
 
 
 _SRC_SEP = "\x1f"    # set-element separator (ASCII unit separator)
-_SRC_NONE = "\x00"   # AggregateFn init sentinel: "no sources seen yet"
 
 
 def q_source_overlap(sf_dir: str):
@@ -5120,38 +5135,38 @@ def q_source_overlap(sf_dir: str):
             "srcs": pc.binary_join(sets.column("source_list"), _SRC_SEP),
         })
 
-    # init sentinel is a value no joined set can equal (sets join to ""
-    # only for the single-empty-source set, which is legal data), so an
-    # empty-string source name round-trips instead of vanishing
-    def _to_set(a: str) -> set:
-        return set() if a == _SRC_NONE else set(a.split(_SRC_SEP))
+    # per-gram set union, bucketed: route partials to run-local hash
+    # buckets of g (every gram's partials co-locate), then ONE Arrow
+    # list-agg per bucket followed by a per-GRAM python union — replaces
+    # the per-key AggregateFn accumulate (Ray walks those in Python key
+    # by key) and collapses to the (source_set -> count) histogram
+    # INSIDE the task, so only O(2^|sources|) rows per bucket return
+    def route(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_route_b", pa.array([], pa.int64()))
+        return t.append_column("_route_b", _route_hash(t.column("g"), 64))
 
-    union_sets = AggregateFn(
-        init=lambda k: _SRC_NONE,
-        accumulate_block=lambda a, blk: _SRC_SEP.join(sorted(
-            _to_set(a).union(
-                *(s.split(_SRC_SEP)
-                  for s in blk.column("srcs").to_pylist())))),
-        merge=lambda a, b: _SRC_SEP.join(sorted(_to_set(a) | _to_set(b))),
-        name="srcs_u",
-    )
-
-    def set_hist(t: pa.Table) -> pa.Table:
-        return (
-            pa.table({"srcs": t.column("srcs_u")})
-            .group_by("srcs").aggregate([([], "count_all")])
-            .rename_columns(["srcs", "n_p"])
-        )
+    def union_hist(t: pa.Table) -> pa.Table:
+        sets = t.group_by("g").aggregate([("srcs", "list")])
+        h: dict[str, int] = {}
+        for lst in sets.column("srcs_list").to_pylist():
+            u: set = set()
+            for s in lst:
+                u.update(s.split(_SRC_SEP))
+            key = _SRC_SEP.join(sorted(u))
+            h[key] = h.get(key, 0) + 1
+        return pa.table({"srcs": pa.array(list(h), pa.string()),
+                         "n_p": pa.array(list(h.values()), pa.int64())})
 
     hist: dict[str, int] = {}
     for part in (
         _widen(src, _p(sf_dir, "documents"))
         .map_batches(shingle_partial, batch_format="pyarrow",
                      zero_copy_batch=True)
-        .groupby("g").aggregate(union_sets)
-        .map_batches(set_hist, batch_format="pyarrow")
+        .map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_route_b").map_groups(union_hist, batch_format="pyarrow")
         .take_all()
-    ):  # O(batches * 2^|sources|), not O(vocabulary)
+    ):  # O(buckets * 2^|sources|), not O(vocabulary)
         hist[part["srcs"]] = hist.get(part["srcs"], 0) + part["n_p"]
 
     names = sorted({s for key in hist for s in key.split(_SRC_SEP)})
