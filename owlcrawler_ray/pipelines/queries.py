@@ -5030,8 +5030,11 @@ def q_dup_ngram_fraction(sf_dir: str):
             keys=["g"], aggs=[("nd_p", "sum")], out=["nd"],
         )
         .map_batches(
+            # schema-less empty blocks (row-free sort partitions out of
+            # _bucket_merge) have no "g" column — pass them through
             lambda t: pa.table(
-                {"g": t.column("g").filter(pc.greater(t.column("nd"), 1))}),
+                {"g": t.column("g").filter(pc.greater(t.column("nd"), 1))})
+            if t.num_rows else pa.table({"g": pa.array([], pa.string())}),
             batch_format="pyarrow",
         )
         .to_pandas()  # O(duplicated grams), not O(rows)
