@@ -100,6 +100,9 @@ BENCH_QUERIES = [
     "ann_pq",
     "events_hourly_users_hll",
     "customer_order_counts",
+    "dataset_split",
+    "source_quota",
+    "bm25_search",
 ]
 
 

@@ -5440,6 +5440,217 @@ ORACLES["customer_order_counts"] = """
 
 
 # ---------------------------------------------------------------------------
+# dataset split / per-source quota / BM25 (round-4 continuation)
+# ---------------------------------------------------------------------------
+
+def q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test assignment (80/10/10) — the split
+    every training-data pipeline needs before anything ships: bucket =
+    first 32 md5 bits of the doc id mod 100 (content-independent, so
+    re-running after dedup/filtering never migrates a doc between
+    splits; md5 so the DuckDB oracle replicates it bit-exactly, the
+    minhash precedent). Stateless map_batches — no shuffle, no state;
+    at 10^10 docs the assignment streams and any stage can recompute a
+    doc's split locally instead of joining against a split table."""
+    src = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        buckets = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+             for i in ids),
+            dtype=np.int64, count=len(ids))
+        split = np.where(buckets < 80, "train",
+                         np.where(buckets < 90, "val", "test"))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "split": pa.array(split.tolist(), pa.string()),
+        })
+
+    return src.map_batches(assign, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+QUERIES["dataset_split"] = q_dataset_split
+ORACLES["dataset_split"] = """
+    SELECT doc_id,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS UBIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS UBIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+"""
+
+
+SOURCE_QUOTA_K = 50
+
+
+def q_source_quota(sf_dir: str):
+    """Per-source quota cap — the domain-balancing pass of crawl
+    curation (cap any one feed/domain at K docs, keeping the longest):
+    top-K docs per source by (n_chars DESC, doc_id ASC). Scale shape:
+    per-batch per-source top-K partials (so at most K x |sources| rows
+    per block cross the wire, whatever the corpus size), then one
+    small groupby(source) merge that re-selects the global top-K per
+    group — sources are a governance-scale dimension (dozens)."""
+    src = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        out = []
+        for key in pc.unique(batch.column("source")).to_pylist():
+            g = batch.filter(pc.equal(batch.column("source"), key))
+            idx = pc.select_k_unstable(
+                g, k=min(SOURCE_QUOTA_K, g.num_rows),
+                sort_keys=[("n_chars", "descending"),
+                           ("doc_id", "ascending")])
+            out.append(g.take(idx))
+        return pa.concat_tables(out) if out else batch
+
+    def merge_topk(g: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            g, k=min(SOURCE_QUOTA_K, g.num_rows),
+            sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")])
+        return g.take(idx)
+
+    return (
+        _widen(src, _p(sf_dir, "documents"))
+        .map_batches(partial_topk, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("source").map_groups(merge_topk, batch_format="pyarrow")
+    )
+
+
+QUERIES["source_quota"] = q_source_quota
+ORACLES["source_quota"] = f"""
+    SELECT doc_id, source, n_chars
+    FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= {SOURCE_QUOTA_K}
+"""
+
+
+BM25_TERMS = ("vector", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def q_bm25_search(sf_dir: str):
+    """BM25 ranking over the documents table for a fixed term set — the
+    standard tf-idf-successor relevance model (the reference's ES
+    search is a simpler tf model; this is the modern scoring the same
+    surface would use). Two passes, both streaming: (1) tiny per-batch
+    corpus partials (docs, total words, per-term doc frequencies) that
+    sum driver-side to N / avgdl / df_t and broadcast as plain floats;
+    (2) a stateless scoring map — word-exact tf via one vectorized
+    split + is_in + bincount, the BM25 formula assembled in the SAME
+    floating-point op order as the SQL oracle (idf via math.log — the
+    libm call DuckDB's ln() makes — multiplies/divides are single
+    correctly-rounded IEEE ops, and the final round-half-away-to-6
+    matches DuckDB round()), then per-batch top-K prune -> global sort
+    -> limit. No shuffle anywhere; driver traffic is O(batches)."""
+    src = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    terms = list(BM25_TERMS)
+
+    def corpus_partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column("text"), " ")
+        dl = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        parents = pc.list_parent_indices(words).to_numpy(
+            zero_copy_only=False)
+        cols = {"n_p": [batch.num_rows], "tw_p": [int(dl.sum())]}
+        for j, t in enumerate(terms):
+            hit = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            docs_with = np.unique(parents[hit])
+            cols[f"df{j}_p"] = [int(len(docs_with))]
+        return pa.table(cols)
+
+    parts = src.map_batches(corpus_partial, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    n_docs = sum(p["n_p"] for p in parts)
+    if n_docs == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    avgdl = sum(p["tw_p"] for p in parts) / n_docs
+    import math
+    idf = [math.log((n_docs - sum(p[f"df{j}_p"] for p in parts) + 0.5)
+                    / (sum(p[f"df{j}_p"] for p in parts) + 0.5) + 1.0)
+           for j in range(len(terms))]
+
+    def score(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column("text"), " ")
+        dl = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        flat = pc.list_flatten(words)
+        parents = pc.list_parent_indices(words).to_numpy(
+            zero_copy_only=False)
+        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        total = np.zeros(batch.num_rows, np.float64)
+        for j, t in enumerate(terms):
+            hit = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            tf = np.bincount(parents[hit],
+                             minlength=batch.num_rows).astype(np.float64)
+            total = total + idf[j] * (tf * (BM25_K1 + 1.0)) / (tf + norm)
+        t_out = pa.table({
+            "doc_id": batch.column("doc_id"),
+            "score": pa.array(_round_half_away(total, 6)),
+        })
+        idx = pc.select_k_unstable(
+            t_out, k=min(BM25_TOPK, t_out.num_rows),
+            sort_keys=[("score", "descending"), ("doc_id", "ascending")])
+        return t_out.take(idx)
+
+    return (
+        src.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(BM25_TOPK)
+    )
+
+
+QUERIES["bm25_search"] = q_bm25_search
+ORACLES["bm25_search"] = f"""
+    WITH d AS (
+        SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ),
+    s AS (
+        SELECT count(*) AS n, sum(len(ws)) * 1.0 / count(*) AS avgdl FROM d
+    ),
+    df AS (
+        SELECT
+          count(*) FILTER (
+              WHERE len(list_filter(ws, x -> x = '{BM25_TERMS[0]}')) > 0)
+              AS df0,
+          count(*) FILTER (
+              WHERE len(list_filter(ws, x -> x = '{BM25_TERMS[1]}')) > 0)
+              AS df1
+        FROM d
+    ),
+    scored AS (
+        SELECT d.doc_id,
+            ln((s.n - df.df0 + 0.5) / (df.df0 + 0.5) + 1.0)
+              * (len(list_filter(ws, x -> x = '{BM25_TERMS[0]}')) * ({BM25_K1} + 1.0))
+              / (len(list_filter(ws, x -> x = '{BM25_TERMS[0]}'))
+                 + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * len(ws) / s.avgdl))
+          + ln((s.n - df.df1 + 0.5) / (df.df1 + 0.5) + 1.0)
+              * (len(list_filter(ws, x -> x = '{BM25_TERMS[1]}')) * ({BM25_K1} + 1.0))
+              / (len(list_filter(ws, x -> x = '{BM25_TERMS[1]}'))
+                 + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * len(ws) / s.avgdl))
+            AS raw
+        FROM d, s, df
+    )
+    SELECT doc_id, round(raw, 6) AS score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {BM25_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver scoreboard ordering
 # ---------------------------------------------------------------------------
 

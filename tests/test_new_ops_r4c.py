@@ -97,6 +97,84 @@ def test_source_overlap_matches_brute_force(ray_session, tmp_path):
         assert got.loc[key, "jaccard"] == pytest.approx(common / union)
 
 
+def test_dataset_split_properties(ray_session):
+    """Deterministic, content-independent, exhaustive and ~80/10/10."""
+    from owlcrawler_ray.pipelines.queries import q_dataset_split
+
+    a = q_dataset_split(SF).to_pandas().set_index("doc_id")["split"]
+    b = q_dataset_split(SF).to_pandas().set_index("doc_id")["split"]
+    assert a.sort_index().equals(b.sort_index())  # re-run stable
+    frac = a.value_counts(normalize=True)
+    assert 0.70 <= frac["train"] <= 0.90
+    assert set(a.unique()) <= {"train", "val", "test"}
+    assert len(a) == 500  # every doc assigned exactly once
+
+
+def test_source_quota_binds(ray_session, tmp_path):
+    """When one source exceeds the quota, exactly K longest docs
+    survive, ties broken by doc_id; small sources pass through."""
+    import owlcrawler_ray.pipelines.queries as Q
+
+    rows = [(i, "w " * (i % 7), "big") for i in range(120)]
+    rows += [(1000 + i, "x y z", "small") for i in range(3)]
+    sf = _write_docs_chars(tmp_path, rows)
+    got = Q.q_source_quota(sf).to_pandas()
+    big = got[got["source"] == "big"]
+    assert len(big) == Q.SOURCE_QUOTA_K
+    assert len(got[got["source"] == "small"]) == 3
+    # kept docs are the K with the largest n_chars (ties -> lowest id)
+    all_big = sorted(((len("w " * (i % 7)), -i) for i in range(120)),
+                     reverse=True)[:Q.SOURCE_QUOTA_K]
+    want_ids = sorted(-x[1] for x in all_big)
+    assert sorted(big["doc_id"]) == want_ids
+
+
+def _write_docs_chars(tmp_path, rows):
+    d = tmp_path / "corpus_q"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_bm25_matches_naive_reference(ray_session):
+    """BM25 scores equal an independent pure-Python implementation
+    (idf/tf/length-norm assembled from scratch), not just the SQL."""
+    import math
+
+    from owlcrawler_ray.pipelines.queries import (
+        BM25_B, BM25_K1, BM25_TERMS, BM25_TOPK, q_bm25_search)
+
+    got = q_bm25_search(SF).to_pandas()
+    assert len(got) == BM25_TOPK
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    ws = {d["doc_id"]: d["text"].split(" ") for d in docs}
+    n = len(ws)
+    avgdl = sum(len(w) for w in ws.values()) / n
+    scores = {}
+    for did, w in ws.items():
+        s = 0.0
+        for t in BM25_TERMS:
+            df = sum(1 for x in ws.values() if t in x)
+            tf = w.count(t)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(w) / avgdl))
+        scores[did] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_TOPK]
+    for (wid, wscore), (_, row) in zip(want, got.iterrows()):
+        assert row["doc_id"] == wid
+        assert abs(row["score"] - wscore) < 1e-6
+
+
 def test_source_overlap_odd_source_names(ray_session, tmp_path):
     """Source names containing '|' (the OLD set separator) and the empty
     string are real identities, not phantoms: 'feed|mirror' must appear
