@@ -2252,20 +2252,32 @@ def q_top_events_per_user(sf_dir: str):
         # rank within user via run boundaries (vectorized)
         starts = np.r_[0, np.flatnonzero(users[1:] != users[:-1]) + 1]
         rank = np.arange(len(users)) - np.repeat(starts, np.diff(np.r_[starts, len(users)]))
-        return t.filter(pa.array(rank < k))
+        t = t.filter(pa.array(rank < k))
+        return t.append_column(
+            "_route_b", _route_hash(t.column("user_id"), 64))
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"], ascending=[False, True],
-                          kind="mergesort").head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["user_id", "rank", "event_id", "value"]]
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        # all of a user's partials co-locate; the whole bucket merges in
+        # ONE vectorized sort + run-boundary rank (the same kernel as the
+        # batch partial) instead of a per-user pandas map_groups walk
+        t = t.drop_columns(["_route_b"])
+        idx = pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("value", "descending"),
+                          ("event_id", "ascending")])
+        t = t.take(idx)
+        users = t.column("user_id").to_numpy()
+        starts = np.r_[0, np.flatnonzero(users[1:] != users[:-1]) + 1]
+        rank = np.arange(len(users)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(users)]))
+        t = t.append_column("rank", pa.array((rank + 1).astype(np.int64)))
+        return t.filter(pa.array(rank < k)).select(
+            ["user_id", "rank", "event_id", "value"])
 
     return (
         _widen(ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True), _p(sf_dir, "events"))
-        .groupby("user_id")
-        .map_groups(merge, batch_format="pandas")
+        .groupby("_route_b")
+        .map_groups(merge_bucket, batch_format="pyarrow")
     )
 
 
@@ -2575,30 +2587,50 @@ def q_events_sliding_3h(sf_dir: str):
             .rename_columns(["user_id", "hour", "v_p", "n_p"])
         )
 
-    hourly = (
+    def route(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_route_b", pa.array([], pa.int64()))
+        return t.append_column("_route_b",
+                               _route_hash(t.column("user_id"), 64))
+
+    def merge_slide(t: pa.Table) -> pa.Table:
+        # one bucket holds every partial of each of its users: merge the
+        # tumbling partials AND compute every user's slide in ONE
+        # vectorized pass — users separated by a run-id offset on the
+        # int64 hour axis so a single searchsorted never crosses users
+        # (run offset 2^40 s >> both the 7200 s window and the epoch)
+        m = (
+            t.drop_columns(["_route_b"])
+            .group_by(["user_id", "hour"])
+            .aggregate([("v_p", "sum"), ("n_p", "sum")])
+            .rename_columns(["user_id", "hour", "v_h", "n_h"])
+        )
+        idx = pc.sort_indices(m, sort_keys=[("user_id", "ascending"),
+                                            ("hour", "ascending")])
+        m = m.take(idx)
+        users = m.column("user_id").to_numpy(zero_copy_only=False)
+        h64 = m.column("hour").to_numpy(zero_copy_only=False) \
+               .astype("datetime64[s]").astype(np.int64)
+        runs = np.r_[0, np.cumsum(users[1:] != users[:-1])].astype(np.int64)
+        key = runs * (1 << 40) + h64
+        lo = np.searchsorted(key, key - 7200, side="left")
+        cv = np.r_[0, np.cumsum(m.column("v_h").to_numpy())]
+        cn = np.r_[0, np.cumsum(m.column("n_h").to_numpy())]
+        hi = np.arange(1, m.num_rows + 1)
+        return pa.table({
+            "user_id": m.column("user_id"),
+            "hour": m.column("hour"),
+            "n_events_3h": pa.array((cn[hi] - cn[lo]).astype(np.int64)),
+            "sum_value_3h": pa.array(
+                (cv[hi] - cv[lo]).astype(np.float64) / 1000.0),
+        })
+
+    return (
         _widen(ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True), _p(sf_dir, "events"))
-        .groupby(["user_id", "hour"])
-        .aggregate(Sum("v_p", alias_name="v_h"), Sum("n_p", alias_name="n_h"))
+        .map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_route_b").map_groups(merge_slide, batch_format="pyarrow")
     )
-
-    def slide(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("hour", kind="mergesort").reset_index(drop=True)
-        hours = g["hour"].to_numpy()
-        lo = np.searchsorted(hours, hours - np.timedelta64(2, "h"), side="left")
-        cv = np.r_[0, np.cumsum(g["v_h"].to_numpy())]
-        cn = np.r_[0, np.cumsum(g["n_h"].to_numpy())]
-        hi = np.arange(1, len(g) + 1)
-        return pd.DataFrame(
-            {
-                "user_id": g["user_id"],
-                "hour": g["hour"],
-                "n_events_3h": (cn[hi] - cn[lo]).astype(np.int64),
-                "sum_value_3h": (cv[hi] - cv[lo]).astype(np.float64) / 1000.0,
-            }
-        )
-
-    return hourly.groupby("user_id").map_groups(slide, batch_format="pandas")
 
 
 QUERIES["events_sliding_3h"] = q_events_sliding_3h
@@ -4049,16 +4081,37 @@ def q_users_per_event_type(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
 
     def uniq_pairs(batch: pa.Table) -> pa.Table:
-        return batch.group_by(["event_type", "user_id"]).aggregate([])
+        t = batch.group_by(["event_type", "user_id"]).aggregate([])
+        return t.append_column("_route_b", _route_hash(t.column("user_id"),
+                                                       64))
 
-    return (
-        ds.map_batches(uniq_pairs, batch_format="pyarrow",
-                       zero_copy_batch=True)
-        .groupby(["event_type", "user_id"])
-        .aggregate(Count(alias_name="dup"))  # global dedup: 1 row per pair
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n_users"))
-    ).select_columns(["event_type", "n_users"])
+    def bucket_distinct(t: pa.Table) -> pa.Table:
+        # all pairs of a user co-locate -> in-bucket distinct is global
+        # distinct; collapse to per-type partial counts so only
+        # O(types x buckets) rows reach the final (tiny-key) aggregate
+        return (
+            t.drop_columns(["_route_b"])
+            .group_by(["event_type", "user_id"]).aggregate([])
+            .group_by("event_type").aggregate([([], "count_all")])
+            .rename_columns(["event_type", "n_p"])
+        )
+
+    parts = (
+        _widen(ds, _p(sf_dir, "events"))
+        .map_batches(uniq_pairs, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("_route_b").map_groups(bucket_distinct,
+                                        batch_format="pyarrow")
+        .take_all()  # O(types x buckets) partial rows — governance-tiny
+    )
+    acc: dict[str, int] = {}
+    for r in parts:
+        acc[r["event_type"]] = acc.get(r["event_type"], 0) + r["n_p"]
+    types = sorted(acc)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n_users": pa.array([acc[t] for t in types], pa.int64()),
+    })
 
 
 QUERIES["users_per_event_type"] = q_users_per_event_type
