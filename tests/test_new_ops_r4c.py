@@ -224,3 +224,37 @@ def test_embedding_quantize_error_bound(ray_session):
     bound = q["scale"].to_numpy() / 254.0 + 1e-9
     assert (err <= bound).all(), float((err - bound).max())
     assert q["q"].abs().max() <= 127  # int8-representable codes
+
+
+def test_bucket_merge_equals_ray_aggregate(ray_session):
+    """_bucket_merge is a drop-in for groupby().aggregate(): same rows
+    for random multi-type keys, multiple aggs, and skewed key counts —
+    including keys that hash to the same route bucket."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    from owlcrawler_ray.pipelines.queries import _bucket_merge
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    t = pa.table({
+        "k": pa.array([f"key-{i}" for i in
+                       rng.zipf(1.5, n) % 300], pa.string()),
+        "a": pa.array(rng.integers(-100, 100, n), pa.int64()),
+        "b": pa.array(rng.integers(0, 10, n), pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(7)
+    got = (
+        _bucket_merge(ds, keys=["k"],
+                      aggs=[("a", "sum"), ("b", "min"), ("b", "max")],
+                      out=["sa", "lb", "hb"], B=5)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    want = (
+        ds.groupby("k").aggregate(Sum("a", alias_name="sa"),
+                                  Min("b", alias_name="lb"),
+                                  Max("b", alias_name="hb"))
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    pd = __import__("pandas")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
