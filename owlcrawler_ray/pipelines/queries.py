@@ -417,11 +417,11 @@ def q_exact_dedup(sf_dir: str):
             .rename_columns(["content_hash", "keep_p", "n_p"])
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("content_hash")
-        .aggregate(Min("keep_p", alias_name="keep_id"),
-                   Sum("n_p", alias_name="n_copies"))
+    return _bucket_merge(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["content_hash"],
+        aggs=[("keep_p", "min"), ("n_p", "sum")],
+        out=["keep_id", "n_copies"],
     )
 
 
