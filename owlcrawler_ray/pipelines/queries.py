@@ -2525,22 +2525,45 @@ def q_sessionization(sf_dir: str):
     event_id, identical to the SQL window ORDER BY."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        gaps = g["ts"].diff()
-        new_sess = (gaps.isna()) | (gaps > pd.Timedelta(minutes=30))
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "n_sessions": [int(new_sess.sum())],
-            }
-        )
+    def route(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_route_b", pa.array([], pa.int64()))
+        return t.append_column("_route_b",
+                               _route_hash(t.column("user_id"), 64))
 
-    # per-user map_groups over a wide user space — re-split ahead of the
-    # group shuffle (see _widen)
-    return _widen(ds, _p(sf_dir, "events")).groupby("user_id").map_groups(
-        sessions, batch_format="pandas")
+    def sessions_bucket(t: pa.Table) -> pa.Table:
+        # every event of a user co-locates: one vectorized sort + run-
+        # boundary session count for the whole bucket (vs a per-user
+        # pandas map_groups walk — the _bucket_merge rationale)
+        t = t.drop_columns(["_route_b"])
+        idx = pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")])
+        t = t.take(idx)
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        new_user = np.r_[True, users[1:] != users[:-1]]
+        gap = np.r_[np.timedelta64(0, "us"), np.diff(ts)]
+        new_sess = new_user | (gap > np.timedelta64(30, "m"))
+        starts = np.flatnonzero(new_user)
+        n_events = np.diff(np.r_[starts, len(users)]).astype(np.int64)
+        sc = np.r_[0, np.cumsum(new_sess)]
+        n_sessions = (sc[np.r_[starts[1:], len(users)]]
+                      - sc[starts]).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(users[starts]),
+            "n_events": pa.array(n_events),
+            "n_sessions": pa.array(n_sessions),
+        })
+
+    # per-user state over a wide user space — re-split ahead of the
+    # bucket shuffle (see _widen)
+    return (
+        _widen(ds, _p(sf_dir, "events"))
+        .map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_route_b").map_groups(sessions_bucket,
+                                        batch_format="pyarrow")
+    )
 
 
 QUERIES["sessionization"] = q_sessionization
