@@ -135,6 +135,16 @@ def _route_hash(arr, B: int) -> pa.Array:
     return h.cast(pl.Int64).to_arrow()
 
 
+def _route_width() -> int:
+    """Default run-local bucket count for _route_hash consumers: ~2
+    buckets/cpu (each bucket is one merge task). At cluster scale pass
+    an explicit larger width — buckets are the shuffle width."""
+    try:
+        return 2 * int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        return 8
+
+
 def _bucket_merge(ds, keys: list[str], aggs: list[tuple[str, str]],
                   out: list[str], B: int | None = None):
     """Drop-in for ``ds.groupby(keys).aggregate(...)`` over a WIDE key
@@ -2242,6 +2252,8 @@ def q_top_events_per_user(sf_dir: str):
     k = 3
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
 
+    rw = _route_width()  # snapshot on the driver; ships as an int
+
     def partial(batch: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
             batch, sort_keys=[("user_id", "ascending"), ("value", "descending"),
@@ -2254,7 +2266,7 @@ def q_top_events_per_user(sf_dir: str):
         rank = np.arange(len(users)) - np.repeat(starts, np.diff(np.r_[starts, len(users)]))
         t = t.filter(pa.array(rank < k))
         return t.append_column(
-            "_route_b", _route_hash(t.column("user_id"), 64))
+            "_route_b", _route_hash(t.column("user_id"), rw))
 
     def merge_bucket(t: pa.Table) -> pa.Table:
         # all of a user's partials co-locate; the whole bucket merges in
@@ -2525,11 +2537,13 @@ def q_sessionization(sf_dir: str):
     event_id, identical to the SQL window ORDER BY."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
 
+    rw = _route_width()  # snapshot on the driver; ships as an int
+
     def route(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t.append_column("_route_b", pa.array([], pa.int64()))
         return t.append_column("_route_b",
-                               _route_hash(t.column("user_id"), 64))
+                               _route_hash(t.column("user_id"), rw))
 
     def sessions_bucket(t: pa.Table) -> pa.Table:
         # every event of a user co-locates: one vectorized sort + run-
@@ -2610,11 +2624,13 @@ def q_events_sliding_3h(sf_dir: str):
             .rename_columns(["user_id", "hour", "v_p", "n_p"])
         )
 
+    rw = _route_width()  # snapshot on the driver; ships as an int
+
     def route(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t.append_column("_route_b", pa.array([], pa.int64()))
         return t.append_column("_route_b",
-                               _route_hash(t.column("user_id"), 64))
+                               _route_hash(t.column("user_id"), rw))
 
     def merge_slide(t: pa.Table) -> pa.Table:
         # one bucket holds every partial of each of its users: merge the
@@ -4103,10 +4119,12 @@ def q_users_per_event_type(sf_dir: str):
     one hash groupby dedups globally, then a tiny per-type count."""
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
 
+    rw = _route_width()  # snapshot on the driver; ships as an int
+
     def uniq_pairs(batch: pa.Table) -> pa.Table:
         t = batch.group_by(["event_type", "user_id"]).aggregate([])
-        return t.append_column("_route_b", _route_hash(t.column("user_id"),
-                                                       64))
+        return t.append_column("_route_b",
+                               _route_hash(t.column("user_id"), rw))
 
     def bucket_distinct(t: pa.Table) -> pa.Table:
         # all pairs of a user co-locate -> in-bucket distinct is global
@@ -5220,10 +5238,12 @@ def q_source_overlap(sf_dir: str):
     # the per-key AggregateFn accumulate (Ray walks those in Python key
     # by key) and collapses to the (source_set -> count) histogram
     # INSIDE the task, so only O(2^|sources|) rows per bucket return
+    rw = _route_width()  # snapshot on the driver; ships as an int
+
     def route(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t.append_column("_route_b", pa.array([], pa.int64()))
-        return t.append_column("_route_b", _route_hash(t.column("g"), 64))
+        return t.append_column("_route_b", _route_hash(t.column("g"), rw))
 
     def union_hist(t: pa.Table) -> pa.Table:
         sets = t.group_by("g").aggregate([("srcs", "list")])
