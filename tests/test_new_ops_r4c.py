@@ -258,3 +258,32 @@ def test_bucket_merge_equals_ray_aggregate(ray_session):
     )
     pd = __import__("pandas")
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_route_hash_cross_process_deterministic(ray_session):
+    """_bucket_merge is only correct if every worker process routes the
+    same key to the same bucket: pin that the polars-backed _route_hash
+    agrees bit-for-bit across two distinct Ray worker processes and the
+    driver, for string and int keys."""
+    import ray
+
+    from owlcrawler_ray.pipelines.queries import _route_hash
+
+    keys_s = pa.array([f"k-{i}" for i in range(1000)], pa.string())
+    keys_i = pa.array(list(range(1000)), pa.int64())
+
+    @ray.remote(num_cpus=0)
+    def route(arr):
+        import os
+        return os.getpid(), _route_hash(arr, 64).to_pylist()
+
+    # insist on two DISTINCT worker processes (0-cpu tasks may reuse one)
+    for _ in range(8):
+        (p1, h1s), (p2, h2s) = ray.get(
+            [route.remote(keys_s), route.remote(keys_s)])
+        if p1 != p2:
+            break
+    assert p1 != p2, "could not obtain two distinct worker processes"
+    (_, h1i), (_, h2i) = ray.get([route.remote(keys_i), route.remote(keys_i)])
+    assert h1s == h2s == _route_hash(keys_s, 64).to_pylist()
+    assert h1i == h2i == _route_hash(keys_i, 64).to_pylist()
