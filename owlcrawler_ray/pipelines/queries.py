@@ -145,6 +145,16 @@ def _route_width() -> int:
         return 8
 
 
+def _route(t: pa.Table, col: str, B: int) -> pa.Table:
+    """Append the run-local "_route_b" bucket column ("_route_b", not
+    "bucket": callers' tables may carry their own bucket column — the
+    LSH band key does), guarding the schema-less empty blocks a
+    map_groups stage can emit."""
+    if t.num_rows == 0:
+        return t.append_column("_route_b", pa.array([], pa.int64()))
+    return t.append_column("_route_b", _route_hash(t.column(col), B))
+
+
 def _bucket_merge(ds, keys: list[str], aggs: list[tuple[str, str]],
                   out: list[str], B: int | None = None):
     """Drop-in for ``ds.groupby(keys).aggregate(...)`` over a WIDE key
@@ -160,17 +170,10 @@ def _bucket_merge(ds, keys: list[str], aggs: list[tuple[str, str]],
     ``aggs`` are Arrow group_by specs over the partial columns, e.g.
     [("n_p", "sum")]; ``out`` names the aggregated columns in order."""
     if B is None:
-        try:
-            B = 2 * int(ray.cluster_resources().get("CPU", 4))
-        except Exception:
-            B = 8
+        B = _route_width()
 
     def route(t: pa.Table) -> pa.Table:
-        # "_route_b", not "bucket": callers' tables may carry their own
-        # bucket column (the LSH band key does)
-        if t.num_rows == 0:
-            return t.append_column("_route_b", pa.array([], pa.int64()))
-        return t.append_column("_route_b", _route_hash(t.column(keys[0]), B))
+        return _route(t, keys[0], B)
 
     def merge(t: pa.Table) -> pa.Table:
         return (
@@ -2540,10 +2543,7 @@ def q_sessionization(sf_dir: str):
     rw = _route_width()  # snapshot on the driver; ships as an int
 
     def route(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t.append_column("_route_b", pa.array([], pa.int64()))
-        return t.append_column("_route_b",
-                               _route_hash(t.column("user_id"), rw))
+        return _route(t, "user_id", rw)
 
     def sessions_bucket(t: pa.Table) -> pa.Table:
         # every event of a user co-locates: one vectorized sort + run-
@@ -2627,17 +2627,18 @@ def q_events_sliding_3h(sf_dir: str):
     rw = _route_width()  # snapshot on the driver; ships as an int
 
     def route(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t.append_column("_route_b", pa.array([], pa.int64()))
-        return t.append_column("_route_b",
-                               _route_hash(t.column("user_id"), rw))
+        return _route(t, "user_id", rw)
 
     def merge_slide(t: pa.Table) -> pa.Table:
         # one bucket holds every partial of each of its users: merge the
         # tumbling partials AND compute every user's slide in ONE
-        # vectorized pass — users separated by a run-id offset on the
-        # int64 hour axis so a single searchsorted never crosses users
-        # (run offset 2^40 s >> both the 7200 s window and the epoch)
+        # vectorized pass — users separated on a RUN-RELATIVE int64 hour
+        # axis (seconds since each user's first hour) with a run stride
+        # of max_span + window + 1, so a single searchsorted never
+        # crosses users. The stride is data-derived: overflow needs
+        # runs x stride >= 2^63 (e.g. ~3e11 users per bucket at a
+        # 30-year span) — and a monotonicity check hard-fails rather
+        # than ever returning silently wrong windows.
         m = (
             t.drop_columns(["_route_b"])
             .group_by(["user_id", "hour"])
@@ -2651,7 +2652,14 @@ def q_events_sliding_3h(sf_dir: str):
         h64 = m.column("hour").to_numpy(zero_copy_only=False) \
                .astype("datetime64[s]").astype(np.int64)
         runs = np.r_[0, np.cumsum(users[1:] != users[:-1])].astype(np.int64)
-        key = runs * (1 << 40) + h64
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        h_rel = h64 - h64[starts][runs]  # >= 0, <= per-user span
+        stride = int(h_rel.max(initial=0)) + 7201
+        key = runs * stride + h_rel
+        if np.any(np.diff(key) < 0):  # int64 wrap — never silently wrong
+            raise OverflowError(
+                "events_sliding_3h: run-key overflow (runs x stride); "
+                "raise the route width so buckets hold fewer users")
         lo = np.searchsorted(key, key - 7200, side="left")
         cv = np.r_[0, np.cumsum(m.column("v_h").to_numpy())]
         cn = np.r_[0, np.cumsum(m.column("n_h").to_numpy())]
@@ -5241,9 +5249,7 @@ def q_source_overlap(sf_dir: str):
     rw = _route_width()  # snapshot on the driver; ships as an int
 
     def route(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t.append_column("_route_b", pa.array([], pa.int64()))
-        return t.append_column("_route_b", _route_hash(t.column("g"), rw))
+        return _route(t, "g", rw)
 
     def union_hist(t: pa.Table) -> pa.Table:
         sets = t.group_by("g").aggregate([("srcs", "list")])
