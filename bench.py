@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "dataset_split",
     "source_quota",
     "bm25_search",
+    "bigram_pmi",
 ]
 
 

@@ -5752,6 +5752,150 @@ ORACLES["bm25_search"] = f"""
 """
 
 
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+
+
+def q_bigram_pmi(sf_dir: str):
+    """Corpus phrase mining: top-K adjacent word pairs by pointwise
+    mutual information, min support {PMI_MIN_COUNT} — the collocation
+    signal tokenizer/vocab builders use. PMI = ln(p(ab)/(p(a)p(b))) with
+    p(ab)=n_ab/N_bi and p(w)=n_w/N_uni.
+
+    Scale + bit-exactness shape: unigram and bigram counts are two
+    _bucket_merge count families (the unigram table broadcasts like
+    unigram_rarity's — CMS is the documented fallback for unbounded
+    vocabularies); candidates are RANKED BY THE RAW PROBABILITY RATIO,
+    which orders identically to PMI (ln is monotonic) while staying in
+    pure correctly-rounded double arithmetic — ln() runs only on the
+    <=K survivors, via math.log (the libm call DuckDB's ln() makes), so
+    the driver compare is bit-exact end to end. Per-batch top-K prune
+    bounds the sort; only the >=min-support slice is ever ordered."""
+    import math
+
+    src = _read(sf_dir, "documents", columns=["text"])
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        return (
+            pa.table({"w": words}).group_by("w")
+            .aggregate([([], "count_all")]).rename_columns(["w", "n_p"])
+        )
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        _pos, grams, _counts = _word_ngrams(batch.column("text"), 2)
+        if not len(grams):
+            return pa.table({"g": pa.array([], pa.string()),
+                             "n_p": pa.array([], pa.int64())})
+        return (
+            pa.table({"g": grams}).group_by("g")
+            .aggregate([([], "count_all")]).rename_columns(["g", "n_p"])
+        )
+
+    wide = _widen(src, _p(sf_dir, "documents"))
+    uni = _bucket_merge(
+        wide.map_batches(uni_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        keys=["w"], aggs=[("n_p", "sum")], out=["n"],
+    ).to_pandas().sort_values("w")  # O(vocabulary), not O(rows)
+    n_uni = int(uni["n"].sum())
+    uwords = pa.array(uni["w"].to_numpy(), pa.string())
+    ucounts = uni["n"].to_numpy().astype(np.int64)
+    uref = ray.put((uwords, ucounts))
+
+    bi = _bucket_merge(
+        wide.map_batches(bi_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        keys=["g"], aggs=[("n_p", "sum")], out=["n_ab"],
+    )
+    # N_bi = total bigram instances = sum over the count table (tiny
+    # extra pass over O(vocab) rows, no extra corpus read)
+    n_bi = sum(
+        r["s"] for r in bi.map_batches(
+            lambda t: pa.table(
+                {"s": [int(pc.sum(t.column("n_ab")).as_py() or 0)]})
+            if t.num_rows else pa.table({"s": pa.array([], pa.int64())}),
+            batch_format="pyarrow").take_all()
+    )
+    if n_bi == 0:
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "n_ab": pa.array([], pa.int64()),
+                         "pmi": pa.array([], pa.float64())})
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n_ab": pa.array([], pa.int64()),
+                             "ratio": pa.array([], pa.float64())})
+        t = t.filter(pc.greater_equal(t.column("n_ab"), PMI_MIN_COUNT))
+        if t.num_rows == 0:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n_ab": pa.array([], pa.int64()),
+                             "ratio": pa.array([], pa.float64())})
+        uw, uc = ray.get(uref)
+        parts = pc.split_pattern(t.column("g"), " ")
+        flat = pc.list_flatten(parts)
+        idx = pc.index_in(flat, value_set=uw).to_numpy(
+            zero_copy_only=False).astype(np.int64).reshape(-1, 2)
+        n_a = uc[idx[:, 0]].astype(np.float64)
+        n_b = uc[idx[:, 1]].astype(np.float64)
+        n_ab = t.column("n_ab").to_numpy(zero_copy_only=False)
+        # SAME left-assoc double op order as the SQL ratio expression
+        ratio = (n_ab.astype(np.float64) * n_uni * n_uni) \
+            / (float(n_bi) * n_a * n_b)
+        out = pa.table({"bigram": t.column("g"), "n_ab": t.column("n_ab"),
+                        "ratio": pa.array(ratio)})
+        sel = pc.select_k_unstable(
+            out, k=min(PMI_TOPK, out.num_rows),
+            sort_keys=[("ratio", "descending"), ("bigram", "ascending")])
+        return out.take(sel)
+
+    top = (
+        bi.map_batches(score, batch_format="pyarrow")
+        .sort(["ratio", "bigram"], descending=[True, False])
+        .limit(PMI_TOPK)
+        .take_all()
+    )
+    return pa.table({
+        "bigram": pa.array([r["bigram"] for r in top], pa.string()),
+        "n_ab": pa.array([int(r["n_ab"]) for r in top], pa.int64()),
+        "pmi": pa.array(
+            [float(_round_half_away(np.array([math.log(r["ratio"])]), 6)[0])
+             for r in top], pa.float64()),
+    })
+
+
+QUERIES["bigram_pmi"] = q_bigram_pmi
+ORACLES["bigram_pmi"] = f"""
+    WITH words AS (SELECT str_split(text, ' ') AS ws FROM documents),
+    uni AS (SELECT unnest(ws) AS w FROM words),
+    ucnt AS (SELECT w, count(*) AS n FROM uni GROUP BY w),
+    nu AS (SELECT count(*) AS n FROM uni),
+    bg AS (
+        SELECT unnest(list_transform(
+            generate_series(1, len(ws) - 1),
+            i -> array_to_string(ws[i:i+1], ' '))) AS bigram
+        FROM words WHERE len(ws) >= 2
+    ),
+    bcnt AS (SELECT bigram, count(*) AS n_ab FROM bg
+             GROUP BY bigram HAVING count(*) >= {PMI_MIN_COUNT}),
+    nb AS (SELECT count(*) AS n FROM bg),
+    scored AS (
+        SELECT bigram, n_ab,
+               (CAST(n_ab AS DOUBLE) * nu.n * nu.n)
+                   / (CAST(nb.n AS DOUBLE) * a.n * b.n) AS ratio
+        FROM bcnt, nu, nb
+        JOIN ucnt a ON a.w = str_split(bigram, ' ')[1]
+        JOIN ucnt b ON b.w = str_split(bigram, ' ')[2]
+    )
+    SELECT bigram, CAST(n_ab AS BIGINT) AS n_ab,
+           round(ln(ratio), 6) AS pmi
+    FROM scored
+    ORDER BY ratio DESC, bigram
+    LIMIT {PMI_TOPK}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver scoreboard ordering
 # ---------------------------------------------------------------------------
