@@ -290,10 +290,13 @@ def run_default() -> dict:
 
 
 def run_scaling() -> dict:
+    raw_legs: dict = {}
+
     def sub(ncpu: int) -> dict:
         # best-of-2: the sandbox VM has noisy neighbors (observed 49s vs
         # 83s for identical runs); min-of-repeats measures the engine
         a, b = _crawl_leg(ncpu), _crawl_leg(ncpu)
+        raw_legs[ncpu] = sorted([a["crawl"]["sec"], b["crawl"]["sec"]])
         return a if a["crawl"]["sec"] <= b["crawl"]["sec"] else b
 
     # N=2 vs 4N=8: both legs sit well inside the PHYSICAL core budget. The
@@ -320,6 +323,13 @@ def run_scaling() -> dict:
         "sec_hi": hi["crawl"]["sec"],
         "scaling_efficiency": round((thr_hi / thr_lo) / 4.0, 3),
         "image_scaling_efficiency": round((img_hi / img_lo) / 4.0, 3),
+        # machine-state evidence: raw legs per level + spread flag, same
+        # stance as the headline bench (identical-code legs have measured
+        # 1.5-1.9x apart across minutes on this VM — see STATS.md)
+        "legs_lo": raw_legs.get(n_lo),
+        "legs_hi": raw_legs.get(n_hi),
+        "session": ("noisy" if any(
+            l[1] > 1.25 * l[0] for l in raw_legs.values()) else "quiet"),
     }
 
 
