@@ -3867,10 +3867,12 @@ def q_events_asof_join(sf_dir: str):
     O((clicks + purchases) log clicks).
 
     Partitioning assumption (documented per the briefing's custom-operator
-    rule): one user's history fits one group. At 10^10 events,
-    range-partition (user_id, time_bucket) and replicate only each
-    bucket's LAST click into the next bucket — state per boundary is one
-    row, so the shuffle stays balanced under power-law users."""
+    rule): one route bucket holds its users' full histories (user ->
+    bucket via _route_hash, merged bucket-at-a-time like the other
+    windowed ops). At 10^10 events, range-partition (user_id,
+    time_bucket) and replicate only each bucket's LAST click into the
+    next bucket — state per boundary is one row, so the shuffle stays
+    balanced under power-law users."""
     ds = _read(
         sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
     ).filter(expr="event_type == 'purchase' or event_type == 'click'")
@@ -3882,30 +3884,53 @@ def q_events_asof_join(sf_dir: str):
          "lag_us": pa.array([], pa.int64())}
     )
 
+    rw = _route_width()  # snapshot on the driver; ships as an int
+
     def merge(group: pa.Table) -> pa.Table:
+        # bucket-level vectorized as-of: all of a user's clicks AND
+        # purchases co-locate; users separate on a dense-rank x stride
+        # composite key (stride = bucket ts-span + 1, data-derived) so
+        # ONE searchsorted resolves every purchase in the bucket — with
+        # a per-hit rank-equality check (a purchase whose user has no
+        # prior click must NOT match the previous user's clicks) and a
+        # monotonicity guard against int64 wrap (hard error, never a
+        # silently wrong attribution)
+        group = group.drop_columns(["_route_b"])
         clicks = group.filter(pc.equal(group.column("event_type"), "click"))
         purch = group.filter(pc.equal(group.column("event_type"), "purchase"))
         if clicks.num_rows == 0 or purch.num_rows == 0:
             return empty
         clicks = clicks.take(
-            pc.sort_indices(clicks, sort_keys=[("ts", "ascending"),
+            pc.sort_indices(clicks, sort_keys=[("user_id", "ascending"),
+                                               ("ts", "ascending"),
                                                ("event_id", "ascending")])
         )
         cts = pc.cast(clicks.column("ts"), pa.int64()).to_numpy()
         cid = clicks.column("event_id").to_numpy()
+        cus = clicks.column("user_id").to_numpy()
         pts = pc.cast(purch.column("ts"), pa.int64()).to_numpy()
         pid = purch.column("event_id").to_numpy()
-        # rightmost click with ts <= purchase ts; equal-ts clicks sort by
-        # event_id, so idx-1 lands on the max event_id of the latest ts
-        pos = np.searchsorted(cts, pts, side="right") - 1
-        ok = pos >= 0
+        pus = purch.column("user_id").to_numpy()
+        t0 = int(min(cts.min(), pts.min()))
+        stride = int(max(cts.max(), pts.max())) - t0 + 1
+        uniq = np.unique(np.concatenate([cus, pus]))
+        crank = np.searchsorted(uniq, cus).astype(np.int64)
+        prank = np.searchsorted(uniq, pus).astype(np.int64)
+        ckey = crank * stride + (cts - t0)
+        if np.any(np.diff(ckey) < 0):
+            raise OverflowError(
+                "events_asof_join: rank-key overflow (users x ts-span); "
+                "raise the route width so buckets hold fewer users")
+        # rightmost click with (user, ts) <= (user, purchase ts); equal-ts
+        # clicks sort by event_id, so idx-1 lands on the max event_id
+        pos = np.searchsorted(ckey, prank * stride + (pts - t0),
+                              side="right") - 1
+        ok = (pos >= 0) & (crank[np.maximum(pos, 0)] == prank)
         pos = pos[ok]
         return pa.table(
             {
                 "purchase_id": pa.array(pid[ok]),
-                "user_id": pa.array(
-                    purch.column("user_id").to_numpy()[ok]
-                ),
+                "user_id": pa.array(pus[ok]),
                 "click_id": pa.array(cid[pos]),
                 # exact microsecond lag: the event ts carry sub-second
                 # parts, so a seconds-granularity diff would be a lossy
@@ -3914,7 +3939,11 @@ def q_events_asof_join(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(merge, batch_format="pyarrow")
+    return (
+        ds.map_batches(lambda t: _route(t, "user_id", rw),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_route_b").map_groups(merge, batch_format="pyarrow")
+    )
 
 
 QUERIES["events_asof_join"] = q_events_asof_join
@@ -3963,26 +3992,57 @@ def q_events_range_join(sf_dir: str):
          "n_errors_1h": pa.array([], pa.int64())}
     )
 
+    rw = _route_width()  # snapshot on the driver; ships as an int
+
     def count_band(group: pa.Table) -> pa.Table:
+        # bucket-level vectorized band count (the as-of join's dense-rank
+        # x stride composite key: the band never crosses users because
+        # consecutive ranks sit >= one full ts-span + band apart; the
+        # monotonicity guard hard-fails on int64 wrap)
+        group = group.drop_columns(["_route_b"])
         sign = group.filter(pc.equal(group.column("event_type"), "signup"))
         if sign.num_rows == 0:
             return empty
         errs = group.filter(pc.equal(group.column("event_type"), "error"))
-        ets = np.sort(pc.cast(errs.column("ts"), pa.int64()).to_numpy())
         sts = pc.cast(sign.column("ts"), pa.int64()).to_numpy()
+        sus = sign.column("user_id").to_numpy()
+        if errs.num_rows == 0:
+            return pa.table(
+                {"signup_id": pa.array(sign.column("event_id").to_numpy()),
+                 "user_id": pa.array(sus),
+                 "n_errors_1h": pa.array(np.zeros(len(sts), np.int64))})
+        ets = pc.cast(errs.column("ts"), pa.int64()).to_numpy()
+        eus = errs.column("user_id").to_numpy()
+        t0 = int(min(ets.min(), sts.min()))
+        stride = int(max(ets.max(), sts.max())) - t0 + band_us + 1
+        uniq = np.unique(np.concatenate([eus, sus]))
+        erank = np.searchsorted(uniq, eus).astype(np.int64)
+        srank = np.searchsorted(uniq, sus).astype(np.int64)
+        # arithmetic overflow check in PYTHON ints (np.sort would mask a
+        # wrapped key by re-ordering it): max key < len(uniq) * stride
+        if len(uniq) * stride + band_us >= 2**63:
+            raise OverflowError(
+                "events_range_join: rank-key overflow (users x ts-span); "
+                "raise the route width so buckets hold fewer users")
+        ekey = np.sort(erank * stride + (ets - t0))
+        skey = srank * stride + (sts - t0)
         n = (
-            np.searchsorted(ets, sts + band_us, side="right")
-            - np.searchsorted(ets, sts, side="right")
+            np.searchsorted(ekey, skey + band_us, side="right")
+            - np.searchsorted(ekey, skey, side="right")
         ).astype(np.int64)
         return pa.table(
             {
                 "signup_id": pa.array(sign.column("event_id").to_numpy()),
-                "user_id": pa.array(sign.column("user_id").to_numpy()),
+                "user_id": pa.array(sus),
                 "n_errors_1h": pa.array(n),
             }
         )
 
-    return ds.groupby("user_id").map_groups(count_band, batch_format="pyarrow")
+    return (
+        ds.map_batches(lambda t: _route(t, "user_id", rw),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_route_b").map_groups(count_band, batch_format="pyarrow")
+    )
 
 
 QUERIES["events_range_join"] = q_events_range_join
