@@ -1825,17 +1825,24 @@ def q_images_decode_stats(sf_dir: str):
                 .rename_columns(["fmt", "ok_p", "dims_p", "ph_p", "n_p"])
             )
 
-    return (
-        ds.map_batches(DecodeValidate, batch_format="pyarrow", batch_size=64,
-                       concurrency=_pool_size())
-        .groupby("fmt")
-        .aggregate(
-            Sum("n_p", alias_name="n_images"),
-            Sum("ok_p", alias_name="n_decoded"),
-            Sum("dims_p", alias_name="n_dims_ok"),
-            Sum("ph_p", alias_name="n_phash_ok"),
-        )
-    )
+    # final merge on the DRIVER: the partials are O(fmts x batches) tiny
+    # rows, and Ray's Aggregate operator costs ~2.3 s of fixed barrier
+    # overhead even at 3 keys (ds.stats: 2.48 s operator, 0.24 s remote)
+    acc: dict[str, list] = {}
+    for r in ds.map_batches(DecodeValidate, batch_format="pyarrow",
+                            batch_size=64,
+                            concurrency=_pool_size()).take_all():
+        a = acc.setdefault(r["fmt"], [0, 0, 0, 0])
+        a[0] += r["n_p"]; a[1] += r["ok_p"]
+        a[2] += r["dims_p"]; a[3] += r["ph_p"]
+    fmts = sorted(acc)
+    return pa.table({
+        "fmt": pa.array(fmts, pa.string()),
+        "n_images": pa.array([acc[f][0] for f in fmts], pa.int64()),
+        "n_decoded": pa.array([acc[f][1] for f in fmts], pa.int64()),
+        "n_dims_ok": pa.array([acc[f][2] for f in fmts], pa.int64()),
+        "n_phash_ok": pa.array([acc[f][3] for f in fmts], pa.int64()),
+    })
 
 
 def q_images_phash_pairs(sf_dir: str):
