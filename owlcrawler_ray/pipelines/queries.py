@@ -3212,7 +3212,6 @@ def q_images_thumbnails(sf_dir: str):
     """Resize stage over the input_hint table: decode -> 32x32 nearest ->
     re-encode + thumb phash. Returns per-fmt thumbnail stats."""
     from ..stages.multimodal import Thumbnailer
-    from ray.data.aggregate import Count as _Count, Sum as _Sum
 
     ds = _images_input(sf_dir)
     thumbs = ds.map_batches(
@@ -3239,15 +3238,19 @@ def q_images_thumbnails(sf_dir: str):
             .rename_columns(["fmt", "ok_p", "dims_p", "n_p"])
         )
 
-    return (
-        thumbs.map_batches(stats, batch_format="pyarrow")
-        .groupby("fmt")
-        .aggregate(
-            _Sum("n_p", alias_name="n_images"),
-            _Sum("ok_p", alias_name="n_thumbs"),
-            _Sum("dims_p", alias_name="n_dims_ok"),
-        )
-    )
+    # driver-side merge of the O(fmts x batches) partials — same rule as
+    # images_decode_stats (Ray Aggregate's fixed barrier dwarfs the work)
+    acc: dict[str, list] = {}
+    for r in thumbs.map_batches(stats, batch_format="pyarrow").take_all():
+        a = acc.setdefault(r["fmt"], [0, 0, 0])
+        a[0] += r["n_p"]; a[1] += r["ok_p"]; a[2] += r["dims_p"]
+    fmts = sorted(acc)
+    return pa.table({
+        "fmt": pa.array(fmts, pa.string()),
+        "n_images": pa.array([acc[f][0] for f in fmts], pa.int64()),
+        "n_thumbs": pa.array([acc[f][1] for f in fmts], pa.int64()),
+        "n_dims_ok": pa.array([acc[f][2] for f in fmts], pa.int64()),
+    })
 
 
 def _videos_input(sf_dir: str):
