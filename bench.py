@@ -74,8 +74,7 @@ BENCH_QUERIES = [
     "anti_join_bloom",
     "quantiles_price",
     "search_es_envelope",
-    "bigram_intersect",
-    "bigram_except",
+    "bigram_setops",
     "label_centroids",
     "events_asof_join",
     "events_range_join",

@@ -191,27 +191,34 @@ def _fetch_extract_fn(web_cfg, raw_tmp, imgs_tmp, fetch_inline: bool,
                 raw_tmp, raw, key=f"{min(seqs)}-{max(seqs)}-{len(seqs)}"
             )
             if img_fetcher is not None:
-                iu, ic, it, ii, ip = [], [], [], [], []
-                for page_u, seq, us, cs in zip(
-                    ok.column("url").to_pylist(),
-                    ok.column("discovered_seq").to_pylist(),
-                    ok.column("img_urls").to_pylist(),
-                    ok.column("img_captions").to_pylist(),
-                ):
-                    for i, (u, c) in enumerate(zip(us, cs)):
-                        iu.append(u)
-                        ic.append(c)
-                        it.append(seq)  # stand-in key; tick joined at read
-                        ii.append(i)
-                        ip.append(page_u)
-                if iu:
+                # vectorized page->image explode (row-major flatten order
+                # == the per-page discovery order): list_flatten +
+                # list_parent_indices replace the old nested to_pylist
+                # loop over the hot fused stage (the river.py:46 pattern)
+                img_urls = ok.column("img_urls").combine_chunks()
+                iu = pc.list_flatten(img_urls)
+                if len(iu):
+                    parent = pc.list_parent_indices(img_urls)
+                    counts = pc.list_value_length(img_urls).to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64)
+                    starts = np.repeat(np.cumsum(counts) - counts, counts)
+                    ii = (np.arange(int(counts.sum()), dtype=np.int64)
+                          - starts).astype(np.int32)
                     refs = pa.table(
                         {
-                            "image_url": pa.array(iu, pa.string()),
-                            "caption": pa.array(ic, pa.string()),
-                            "tick": pa.array(it, pa.int64()),
-                            "img_idx": pa.array(np.asarray(ii, dtype=np.int32)),
-                            "page_url": pa.array(ip, pa.string()),
+                            "image_url": iu.cast(pa.string()),
+                            "caption": pc.list_flatten(
+                                ok.column("img_captions").combine_chunks()
+                            ).cast(pa.string()),
+                            # stand-in key; tick joined at read
+                            "tick": pc.take(
+                                ok.column("discovered_seq"), parent
+                            ).cast(pa.int64()).combine_chunks(),
+                            "img_idx": pa.array(ii),
+                            "page_url": pc.take(
+                                ok.column("url"), parent
+                            ).cast(pa.string()).combine_chunks(),
                         }
                     )
                     out = img_decoder(img_fetcher(refs))
@@ -231,6 +238,46 @@ def _fetch_extract_fn(web_cfg, raw_tmp, imgs_tmp, fetch_inline: bool,
         )
 
     return fe
+
+
+def _join_stamps(stamps_ref, key: str, cols: list[str] | None,
+                 batch: pa.Table) -> pa.Table:
+    """Task-side broadcast join of one round's stamps sidecar into a batch
+    of that round's output rows. ``stamps_ref`` is the round's url-keyed
+    stamps table, ray.put once on the driver (bounded: O(successes) of ONE
+    round, never the whole crawl) and read zero-copy from the object store
+    here. Every output row is a committed success, so a missing stamp is a
+    store-corruption signal and hard-fails rather than mis-stamping."""
+    if batch.num_rows == 0:
+        return batch
+    stamps = ray.get(stamps_ref)
+    pos = pc.index_in(
+        batch.column(key).combine_chunks(),
+        value_set=stamps.column("url").combine_chunks(),
+    )
+    if pos.null_count:
+        raise ValueError(
+            f"crawl output row with no stamps entry (key={key}); the "
+            "stamps sidecar and the round data disagree"
+        )
+    taken = stamps.take(pos)
+    out = batch
+    for name in (cols if cols is not None
+                 else [c for c in stamps.column_names if c != "url"]):
+        if name in out.column_names:
+            out = out.drop_columns([name])
+        out = out.append_column(name, taken.column(name))
+    return out
+
+
+def _collect_arrow(ds) -> pa.Table:
+    """Materialize a small Dataset to one driver Arrow table. map_groups/
+    map_batches can emit SCHEMA-LESS empty blocks; concat would fail on
+    them, so row-free blocks are dropped first."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="default")
 
 
 def _slice_tables(tbl: pa.Table, n_blocks: int) -> list[pa.Table]:
@@ -873,44 +920,64 @@ class Crawler:
             "seen": sum(ray.get([s.size.remote() for s in self.seen])),
         }
 
-    # parity views ------------------------------------------------------
-    def pages_table(self) -> pa.Table:
-        """Pages with their stamps sidecar merged back in (url-keyed):
-        the reference's full CouchDoc shape incl. links_to_queue/parsed_on."""
-        raw = table_store.read_all_arrow(self.cfg.out_dir, "pages")
-        stamps = table_store.read_all_arrow(self.cfg.out_dir, "stamps")
-        if raw.num_rows == 0 or stamps.num_rows == 0:
-            return raw
-        idx = {u: i for i, u in enumerate(stamps.column("url").to_pylist())}
-        order = pa.array(
-            [idx[u] for u in raw.column("url").to_pylist()], type=pa.int64()
-        )
-        taken = stamps.take(order).drop_columns(["url"])
-        out = raw
-        for name in taken.column_names:
-            out = out.append_column(name, taken.column(name))
+    # output views ------------------------------------------------------
+    def _stamped_dataset(self, name: str, key: str,
+                         stamp_cols: list[str] | None) -> "rd.Dataset":
+        """Streaming view of a crawl output table with its stamps sidecar
+        joined back in TASK-SIDE: each round's stamps table is bounded by
+        budget_per_round (O(successes) url-keyed rows — never the whole
+        crawl), so it is ray.put once per round and looked up inside
+        map_batches via pc.index_in. No shuffle, no driver concat; the
+        union across rounds stays lazy, so at 10^10 URLs this view streams
+        block-by-block while the old driver-Table form would have pulled
+        every html/image byte through the driver heap."""
+        parts = []
+        for r in table_store.list_rounds(self.cfg.out_dir, name):
+            ds = table_store.round_dataset(self.cfg.out_dir, name, r)
+            if ds is None:
+                continue  # round committed with zero successes
+            stamps = table_store.read_all_arrow_round(
+                self.cfg.out_dir, "stamps", r
+            )
+            ref = ray.put(stamps)
+            parts.append(
+                ds.map_batches(
+                    partial(_join_stamps, ref, key, stamp_cols),
+                    batch_format="pyarrow", zero_copy_batch=True,
+                )
+            )
+        if not parts:
+            return rd.from_arrow(pa.table({}))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
         return out
 
+    def pages_dataset(self) -> "rd.Dataset":
+        """Pages as a lazy streaming Dataset with the stamps sidecar merged
+        back in (url-keyed): the reference's full CouchDoc shape incl.
+        links_to_queue/parsed_on. This is the scale surface — consume with
+        map_batches/write_parquet; use pages_table() only on bounded
+        corpora (tests/parity)."""
+        return self._stamped_dataset("pages", "url", None)
+
+    def images_dataset(self) -> "rd.Dataset":
+        """Decoded image rows as a lazy streaming Dataset with the
+        politeness tick joined back from the stamps sidecar (images are
+        written in the same pass as pages, before ticks exist; within a
+        round tick order == admission seq order, so (tick, img_idx)
+        ordering parity is exact)."""
+        return self._stamped_dataset("images", "page_url", ["tick"])
+
+    def pages_table(self) -> pa.Table:
+        """Driver-side materialization of pages_dataset() — parity/test
+        use over bounded corpora only."""
+        return _collect_arrow(self.pages_dataset())
+
     def images_table(self) -> pa.Table:
-        """Decoded image rows with the politeness tick joined back from the
-        stamps sidecar (images are written in the same pass as pages, before
-        ticks exist; within a round tick order == admission seq order, so
-        (tick, img_idx) ordering parity is exact)."""
-        imgs = table_store.read_all_arrow(self.cfg.out_dir, "images")
-        stamps = table_store.read_all_arrow(self.cfg.out_dir, "stamps")
-        if imgs.num_rows == 0 or stamps.num_rows == 0:
-            return imgs
-        tick_of = dict(
-            zip(stamps.column("url").to_pylist(),
-                stamps.column("tick").to_pylist())
-        )
-        ticks = pa.array(
-            [tick_of[u] for u in imgs.column("page_url").to_pylist()],
-            type=pa.int64(),
-        )
-        if "tick" in imgs.column_names:
-            imgs = imgs.drop_columns(["tick"])
-        return imgs.append_column("tick", ticks)
+        """Driver-side materialization of images_dataset() — parity/test
+        use over bounded corpora only."""
+        return _collect_arrow(self.images_dataset())
 
     def attempts_table(self) -> pa.Table:
         return table_store.read_all_arrow(self.cfg.out_dir, "attempts")

@@ -52,13 +52,21 @@ class ParquetWriter:
     def write_dataset(self, ds, out_dir: str) -> None:
         ds.write_parquet(out_dir)
 
-    def dataset(self, files: list[str]):
+    def dataset(self, files: list[str], columns: list[str] | None = None):
         import ray.data as rd
 
         # partitioning=None: don't let hive inference graft a `round`
         # column out of the round=NNNNNN path segment — the stored schema
-        # is the contract
-        return rd.read_parquet(files, partitioning=None)
+        # is the contract; `columns` prunes heavy payloads (html, image
+        # bytes) at the read, so a projection never leaves storage.
+        # Ray 2.49's parquet datasource raises UnboundLocalError when
+        # columns are combined with partitioning=None, so the pruned path
+        # keeps the default hive partitioning — the explicit column list
+        # already excludes any path-grafted column, so the output schema
+        # is identical either way.
+        if columns is None:
+            return rd.read_parquet(files, partitioning=None)
+        return rd.read_parquet(files, columns=columns)
 
 
 class LanceWriter:
@@ -85,10 +93,10 @@ class LanceWriter:
     def write_dataset(self, ds, out_dir: str) -> None:
         ds.write_lance(os.path.join(out_dir, "part-ds" + self.ext))
 
-    def dataset(self, files: list[str]):
+    def dataset(self, files: list[str], columns: list[str] | None = None):
         import ray.data as rd
 
-        parts = [rd.read_lance(f) for f in files]
+        parts = [rd.read_lance(f, columns=columns) for f in files]
         out = parts[0]
         for p in parts[1:]:
             out = out.union(p)
@@ -252,8 +260,9 @@ def _part_paths(root: str, name: str) -> list[tuple[str, str]]:
     return out
 
 
-def read_all(root: str, name: str):
-    """All committed rounds as one ray Dataset (lazy, streaming)."""
+def read_all(root: str, name: str, columns: list[str] | None = None):
+    """All committed rounds as one ray Dataset (lazy, streaming); pass
+    ``columns`` to prune heavy payloads at the read."""
     import ray.data as rd
 
     pairs = _part_paths(root, name)
@@ -264,11 +273,27 @@ def read_all(root: str, name: str):
     by_writer: dict[str, list[str]] = {}
     for wname, p in pairs:
         by_writer.setdefault(wname, []).append(p)
-    parts = [WRITERS[wname].dataset(files) for wname, files in by_writer.items()]
+    parts = [
+        WRITERS[wname].dataset(files, columns=columns)
+        for wname, files in by_writer.items()
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def round_dataset(root: str, name: str, round_id: int,
+                  columns: list[str] | None = None):
+    """ONE committed round's parts as a lazy ray Dataset (None when the
+    round committed empty — e.g. a pages round whose every admission
+    404'd writes no parts). The per-round granularity is what lets a
+    reader broadcast that round's bounded sidecar (stamps) into a
+    map_batches join instead of shuffling the whole store."""
+    wname, paths = round_part_paths(root, name, round_id)
+    if not paths:
+        return None
+    return WRITERS[wname].dataset(paths, columns=columns)
 
 
 def read_all_arrow_round(root: str, name: str, round_id: int) -> pa.Table:

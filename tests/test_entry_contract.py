@@ -51,13 +51,33 @@ def test_cli_job_entry_runs_and_resumes(ray_session, tmp_path):
     assert len(urls) == len(set(urls)) > 0
 
 
-def test_registry_enumerates_oracled_queries_first():
-    """The driver scoreboard records a bounded prefix of the registry
-    walk (r2 recorded only the first 50 entries), so every SQL-oracled
-    query must enumerate before any rows-only one."""
+def test_registry_scoreboard_prefix():
+    """The driver scoreboard records a bounded 50-entry prefix of the
+    registry walk, so the registry pins an explicit curated prefix
+    (queries._SCOREBOARD_PREFIX): every dedup-family OUTPUT stage and at
+    least one live-crawl surface must sit inside the recorded window
+    (round-4 verdict, next-round item #2)."""
     import __ray_entry__ as e
+    from owlcrawler_ray.pipelines.queries import _SCOREBOARD_PREFIX
 
     qs, osql = e.queries(), e.oracle_sql()
     names = list(qs)
-    assert all(n in osql for n in names[: len(osql)])
-    assert not any(n in osql for n in names[len(osql):])
+    assert len(_SCOREBOARD_PREFIX) == 50
+    assert names[:50] == _SCOREBOARD_PREFIX
+    window = set(names[:50])
+    # every dedup family's stages, incl. each kept-corpus OUTPUT stage
+    assert {
+        "exact_dedup", "dedup_documents",            # exact
+        "minhash_lsh_pairs", "ngram_jaccard_verify",  # minhash candidates
+        "near_dup_components", "near_dup_dedup",      # minhash output
+        "embedding_near_dup", "semantic_dedup",       # embedding family
+        "simhash_dedup", "doc_fingerprints",          # simhash family
+        "image_dup_clusters",                         # image-side output
+    } <= window
+    # at least one live-crawl surface
+    assert "crawl_pages" in window
+    # demoted queries keep their oracle (bit-exactness stays pytest-gated)
+    demoted_oracled = [n for n in names[50:] if n in osql]
+    assert "search" in demoted_oracled  # redundant relevance-model proof
+    # and every prefix entry exists & oracled entries dominate the window
+    assert sum(1 for n in names[:50] if n in osql) == 48

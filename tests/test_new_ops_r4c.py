@@ -226,10 +226,16 @@ def test_embedding_quantize_error_bound(ray_session):
     assert q["q"].abs().max() <= 127  # int8-representable codes
 
 
-def test_bucket_merge_equals_ray_aggregate(ray_session):
+@pytest.mark.parametrize("B", [5, 1, 256])
+def test_bucket_merge_equals_ray_aggregate(ray_session, B):
     """_bucket_merge is a drop-in for groupby().aggregate(): same rows
     for random multi-type keys, multiple aggs, and skewed key counts —
-    including keys that hash to the same route bucket."""
+    including keys that hash to the same route bucket. The B legs pin
+    the width claim the docstring makes ("at cluster scale pass a larger
+    B"): B=1 forces every key through ONE bucket (total collision), and
+    B=256 is a cluster-scale width far beyond both the block count and
+    the distinct-key count (most buckets row-free — the schema-less
+    empty-block guard path)."""
     import ray.data as rd
     from ray.data.aggregate import Max, Min, Sum
 
@@ -247,7 +253,7 @@ def test_bucket_merge_equals_ray_aggregate(ray_session):
     got = (
         _bucket_merge(ds, keys=["k"],
                       aggs=[("a", "sum"), ("b", "min"), ("b", "max")],
-                      out=["sa", "lb", "hb"], B=5)
+                      out=["sa", "lb", "hb"], B=B)
         .to_pandas().sort_values("k").reset_index(drop=True)
     )
     want = (

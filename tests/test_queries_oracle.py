@@ -85,3 +85,25 @@ def test_query_matches_oracle(ray_session, con, name):
 def test_all_queries_have_callable(ray_session):
     for name, fn in QUERIES.items():
         assert callable(fn)
+
+
+def test_customer_order_counts_distributed_join_path(
+    ray_session, con, monkeypatch
+):
+    """r4 ADVICE: the hash-partitioned left_outer Dataset.join fallback in
+    q_customer_order_counts is never selected at test scale (the broadcast
+    estimate always wins), so a regression there would be invisible. Zero
+    the broadcast budget to force the join branch and assert it matches
+    the oracle bit-for-bit, same as the recorded (broadcast) path."""
+    from owlcrawler_ray.pipelines import queries as q
+
+    monkeypatch.setattr(q, "BROADCAST_SEMI_BYTES", 0)
+    got = _normalize(_to_pdf(q.QUERIES["customer_order_counts"](SF)))
+    want = _normalize(con.execute(q.ORACLES["customer_order_counts"]).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        pd.testing.assert_series_equal(
+            got[c], want[c], check_names=False, check_dtype=False,
+            obj=f"customer_order_counts.{c}",
+        )
