@@ -376,6 +376,35 @@ def run_megaround() -> dict:
     summary = c.run()
     wall = time.perf_counter() - t0
     m = c.metrics["rounds"][0]
+
+    # streaming-view proof (r4 verdict item #1): consume BOTH output
+    # views end-to-end as Datasets and show the driver heap does not
+    # grow with the corpus — the old pages_table()/images_table() path
+    # concatenated every html/image byte on the driver; the streaming
+    # views join the bounded per-round stamps sidecar task-side and the
+    # driver only sees counts here
+    def _rss_mb() -> float:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024.0
+        return 0.0
+
+    store_mb = sum(
+        os.path.getsize(os.path.join(dp, fn))
+        for dp, _, fns in os.walk(cfg.out_dir) for fn in fns
+    ) / (1 << 20)
+    rss0 = _rss_mb()
+    tv = time.perf_counter()
+    n_pages = c.pages_dataset().count()
+    n_images = c.images_dataset().count()
+    views = {
+        "pages_rows": n_pages,
+        "images_rows": n_images,
+        "consume_sec": round(time.perf_counter() - tv, 3),
+        "store_mb": round(store_mb, 1),
+        "driver_rss_delta_mb": round(_rss_mb() - rss0, 1),
+    }
     c.shutdown()
     ray.shutdown()
     tm = m["timings"]
@@ -395,6 +424,7 @@ def run_megaround() -> dict:
         "driver_loop_frac": round(
             (tm["tick_walk"] + tm["admit"] + tm["stamps"] + tm["links_push"])
             / round_sec, 4),
+        "streaming_views": views,
     }
     return out
 

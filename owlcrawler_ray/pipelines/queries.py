@@ -1163,24 +1163,34 @@ def q_minhash_lsh_pairs(sf_dir: str):
     # dominates at test scale (measured 2.4 s -> 1.4 s); width derives
     # from the EXACT hot-row count the counts aggregate already knows
     n_hot_rows = sum(r["n"] for r in hot_counts)
-    partials = (
-        bands.map_batches(in_hot, batch_format="pyarrow")
-        .repartition(_join_width(n_hot_rows * 64))
-        .groupby("bucket")
-        .map_groups(emit_pairs, batch_format="pyarrow")
-        .take_all()  # bounded: capped per-bucket pairs == output order
+    partials = [
+        t for t in ray.get(
+            bands.map_batches(in_hot, batch_format="pyarrow")
+            .repartition(_join_width(n_hot_rows * 64))
+            .groupby("bucket")
+            .map_groups(emit_pairs, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows  # map_groups empty blocks are schema-less
+    ]
+    # driver merge of the pair partials — bounded by the in-task cap at
+    # the op's OUTPUT order of bytes; n_bands = number of buckets the
+    # pair co-occurs in, via one vectorized Arrow group_by (not a
+    # per-row Python dict). A skew cap below every bucket's size leaves
+    # zero partials — still a valid (empty) result, not a crash.
+    if not partials:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64()),
+             "n_bands": pa.array([], pa.int64())}
+        )
+    merged = (
+        pa.concat_tables(partials)
+        .group_by(["doc_a", "doc_b"]).aggregate([([], "count_all")])
+        .rename_columns(["doc_a", "doc_b", "n_bands"])
     )
-    pair_bands: dict[tuple[int, int], int] = {}
-    for r in partials:  # n_bands = number of buckets the pair co-occurs in
-        p = (r["doc_a"], r["doc_b"])
-        pair_bands[p] = pair_bands.get(p, 0) + 1
-    items = sorted(pair_bands.items())
-    return pa.table(
-        {
-            "doc_a": pa.array([p[0] for p, _ in items], pa.int64()),
-            "doc_b": pa.array([p[1] for p, _ in items], pa.int64()),
-            "n_bands": pa.array([n for _, n in items], pa.int64()),
-        }
+    return merged.sort_by(
+        [("doc_a", "ascending"), ("doc_b", "ascending")]
     )
 
 

@@ -24,10 +24,15 @@ Robots sources (the reference has no robots handling at all — SURVEY.md
 host pattern -> path prefixes) and/or a fetched+parsed+cached per-host
 /robots.txt via ``robots_fetcher`` — the corpus web serves deterministic
 robots documents (``WebConfig.robots_frac``), a real crawler serves HTTP.
+Robots semantics are RFC 9309 (round-5 upgrade): Allow + Disallow rules,
+``*``/``$`` wildcards, longest-pattern-octets precedence with Allow
+winning ties, specific user-agent group selection over ``*``, and
+queries participating in the path match.
 """
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from urllib.parse import urlsplit
 
@@ -40,6 +45,10 @@ class PolitenessConfig:
     rate_per_s: float = 1.0  # polite mode: tokens/virtual-second/host
     burst: float = 4.0
     disallow: dict[str, list[str]] = field(default_factory=dict)
+    # RFC 9309 group selection: when set, robots groups whose user-agent
+    # token matches this product name (longest case-insensitive token
+    # match) take precedence over the `*` groups; unset honors only `*`
+    agent: str = ""
 
 
 class HostBucket:
@@ -60,16 +69,34 @@ class HostBucket:
         return got
 
 
-def parse_robots(text: str) -> list[str]:
-    """Minimal robots.txt parser: Disallow prefixes whose group includes
-    User-agent: * (the subset a polite crawler must honor; Allow/
-    crawl-delay omitted). Per the robots spec, CONSECUTIVE User-agent
-    lines form one group sharing the rules that follow — `User-agent: *`
-    then `User-agent: otherbot` then `Disallow: /x` disallows /x for
-    both, so `active` must accumulate over the group, not be overwritten
-    by each agent line (caught by the round-4 review)."""
-    rules: list[str] = []
-    active = False
+def parse_robots(text: str, agent: str = "") -> list[tuple[str, bool]]:
+    """RFC 9309 robots.txt parser -> [(path_pattern, allow)] for the
+    selected user-agent.
+
+    Semantics implemented (upgraded from the pre-r5 Disallow-prefix
+    subset per the round-4 verdict's robots-fidelity item):
+
+    * grouping — CONSECUTIVE User-agent lines form one group sharing the
+      rules that follow (`User-agent: *` then `User-agent: otherbot`
+      then `Disallow: /x` binds /x to both; a later User-agent line
+      after rules starts a NEW group);
+    * group selection (§2.2.1) — if ``agent`` is set and any group names
+      a token that case-insensitively matches it (substring product-token
+      match, LONGEST token wins), the union of THOSE groups' rules
+      applies and every `*` group is ignored; otherwise the `*` groups
+      apply;
+    * both ``Allow`` and ``Disallow`` lines are kept (the allow bit);
+    * an EMPTY Disallow/Allow value means "no rule" and is dropped
+      (the classic allow-all `Disallow:` form);
+    * `*` and `$` wildcards in rule paths are preserved verbatim here
+      and interpreted by the matcher (rule_matcher / PolitenessGate):
+      `*` spans any octets, a trailing `$` anchors the pattern end.
+
+    Precedence (longest-pattern-wins, Allow on ties) is the MATCHER's
+    job — this function only selects and returns the raw rule list."""
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
     in_agent_block = False
     for line in text.splitlines():
         line = line.split("#", 1)[0].strip()
@@ -79,14 +106,64 @@ def parse_robots(text: str) -> list[str]:
         key, val = key.strip().lower(), val.strip()
         if key == "user-agent":
             if not in_agent_block:  # first agent line of a NEW group
-                active = False
+                if cur_agents:
+                    groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
             in_agent_block = True
-            active = active or val == "*"
+            cur_agents.append(val.lower())
         else:
             in_agent_block = False
-            if key == "disallow" and active and val:
-                rules.append(val)
+            if key in ("disallow", "allow") and val and cur_agents:
+                cur_rules.append((val, key == "allow"))
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+    # selection: longest specific token match beats *, which beats nothing
+    best_token = ""
+    if agent:
+        al = agent.lower()
+        for agents, _ in groups:
+            for tok in agents:
+                if tok != "*" and tok in al and len(tok) > len(best_token):
+                    best_token = tok
+    rules: list[tuple[str, bool]] = []
+    for agents, grules in groups:
+        if (best_token and best_token in agents) or (
+            not best_token and "*" in agents
+        ):
+            rules.extend(grules)
     return rules
+
+
+def _rule_regex(pattern: str) -> "re.Pattern[str]":
+    """Compile one robots path pattern: `*` spans any octets, a trailing
+    `$` anchors the end; everything else is literal, matched from the
+    path start (RFC 9309 §2.2.2)."""
+    body, anchor = (pattern[:-1], True) if pattern.endswith("$") else (
+        pattern, False)
+    rx = "^" + ".*".join(re.escape(p) for p in body.split("*"))
+    return re.compile(rx + "$" if anchor else rx)
+
+
+class _CompiledRules:
+    """Per-host compiled rule set with RFC 9309 precedence: the matching
+    rule with the MOST PATTERN OCTETS governs; on a specificity tie the
+    least-restrictive (Allow) rule wins; no match -> allowed."""
+
+    __slots__ = ("rules",)
+
+    def __init__(self, raw: list[tuple[str, bool]]):
+        self.rules = [(p, allow, _rule_regex(p)) for p, allow in raw]
+
+    def allowed(self, path: str) -> bool:
+        best_len = -1
+        best_allow = True
+        for p, allow, rx in self.rules:
+            if rx.match(path) is None:
+                continue
+            n = len(p)
+            if n > best_len or (n == best_len and allow and not best_allow):
+                best_len, best_allow = n, allow
+        return best_allow
 
 
 class PolitenessGate:
@@ -102,22 +179,25 @@ class PolitenessGate:
     def __init__(self, cfg: PolitenessConfig, robots_fetcher=None):
         self.cfg = cfg
         self.buckets: dict[str, HostBucket] = {}
-        self.robots: dict[str, list[str]] = {}
+        self.robots: dict[str, _CompiledRules] = {}
         self.robots_fetcher = robots_fetcher
 
     # -- robots ----------------------------------------------------------
-    def rules_for(self, host: str) -> list[str]:
+    def rules_for(self, host: str) -> _CompiledRules:
         if host not in self.robots:
-            rules: list[str] = []
+            rules: list[tuple[str, bool]] = []
+            # static config: disallow prefixes (prefix == the RFC pattern
+            # form with no wildcards)
             for pat, prefixes in self.cfg.disallow.items():
                 if pat == host or pat == "*":
-                    rules.extend(prefixes)
+                    rules.extend((p, False) for p in prefixes)
             if self.robots_fetcher is not None:
                 try:
-                    rules.extend(parse_robots(self.robots_fetcher(host)))
+                    rules.extend(parse_robots(self.robots_fetcher(host),
+                                              agent=self.cfg.agent))
                 except Exception:
                     pass  # unreachable robots.txt -> allow (common practice)
-            self.robots[host] = rules
+            self.robots[host] = _CompiledRules(rules)
         return self.robots[host]
 
     def allowed(self, url: str) -> bool:
@@ -129,7 +209,9 @@ class PolitenessGate:
             # rather than crash the admission loop
             return False
         path = parts.path or "/"
-        return not any(path.startswith(p) for p in self.rules_for(parts.netloc))
+        if parts.query:  # RFC 9309 matches path + optional query
+            path += "?" + parts.query
+        return self.rules_for(parts.netloc).allowed(path)
 
     def allowed_many(self, urls: list[str]) -> list[bool]:
         return [self.allowed(u) for u in urls]

@@ -195,7 +195,9 @@ def test_fetched_robots_txt_respected(ray_session, tmp_path):
     web = SyntheticWeb(web_cfg)
     # every host disallows one /page-K prefix (deterministic)
     rules = {
-        web.host(i): parse_robots(web.robots_txt(web.host(i)))
+        web.host(i): [p for p, allow in
+                      parse_robots(web.robots_txt(web.host(i)))
+                      if not allow]
         for i in range(web_cfg.num_hosts)
     }
     assert all(rules.values())
@@ -221,6 +223,53 @@ def test_fetched_robots_txt_respected(ray_session, tmp_path):
             parts = urlsplit(u)
             for prefix in rules[parts.netloc]:
                 assert not parts.path.startswith(prefix), (u, prefix)
+    finally:
+        c.shutdown()
+
+
+def test_polite_crawl_allow_override(ray_session, tmp_path, monkeypatch):
+    """End-to-end RFC 9309 Allow precedence (round-4 verdict item #7):
+    host-1 serves a robots.txt that disallows every /page- path but
+    re-allows exactly /page-1.html via a longer anchored Allow rule.
+    The polite crawl must fetch host-1's root AND page-1 (the root
+    always links pages 1..fanout) and NOTHING else on that host, while
+    other hosts crawl normally."""
+    from owlcrawler_ray.sources.corpus import SyntheticWeb as SW
+    from owlcrawler_ray.state.politeness import PolitenessConfig
+
+    real_robots = SW.robots_txt
+
+    def robots(self, host):
+        if host == "host-1.test":
+            return ("User-agent: *\n"
+                    "Disallow: /page-\n"
+                    "Allow: /page-1.html$\n")
+        return real_robots(self, host)
+
+    monkeypatch.setattr(SW, "robots_txt", robots)
+    base = str(tmp_path / "allow_override")
+    cfg = CrawlConfig(
+        web=SMALL_WEB,
+        mode="polite",
+        politeness=PolitenessConfig(mode="polite", rate_per_s=5.0,
+                                    burst=16.0),
+        fetch_robots=True,
+        out_dir=f"{base}/out",
+        ckpt_dir=f"{base}/ckpt",
+        fetch_concurrency=2,
+        image_concurrency=1,
+        max_rounds=100,
+    )
+    c, _ = run_crawl(cfg)
+    try:
+        from urllib.parse import urlsplit
+
+        urls = [p["url"] for p in c.pages_table().to_pylist()]
+        h1_paths = {urlsplit(u).path for u in urls
+                    if urlsplit(u).netloc == "host-1.test"}
+        assert h1_paths == {"/", "/page-1.html"}
+        # the rest of the web is unaffected
+        assert any(urlsplit(u).netloc != "host-1.test" for u in urls)
     finally:
         c.shutdown()
 

@@ -526,14 +526,69 @@ def test_parse_robots_agent_groups():
     from owlcrawler_ray.state.politeness import parse_robots
 
     txt = "User-agent: *\nUser-agent: otherbot\nDisallow: /private\n"
-    assert parse_robots(txt) == ["/private"]
+    assert parse_robots(txt) == [("/private", False)]
     # a NEW group after rules resets membership
     txt2 = ("User-agent: otherbot\nDisallow: /a\n"
             "User-agent: *\nDisallow: /b\n")
-    assert parse_robots(txt2) == ["/b"]
+    assert parse_robots(txt2) == [("/b", False)]
     # wildcard second in its group still counts
     txt3 = "User-agent: x\nUser-agent: *\nDisallow: /c\n"
-    assert parse_robots(txt3) == ["/c"]
+    assert parse_robots(txt3) == [("/c", False)]
+
+
+def test_parse_robots_rfc9309_groups_and_selection():
+    """RFC 9309 upgrades (round-4 verdict item #7): Allow lines kept,
+    empty Disallow dropped (allow-all form), specific-agent group
+    selection with longest-token precedence over `*`."""
+    from owlcrawler_ray.state.politeness import parse_robots
+
+    txt = ("User-agent: *\nDisallow: /a\nAllow: /a/pub\n"
+           "User-agent: owl\nDisallow: /b\n"
+           "User-agent: owlcrawler\nDisallow: /c\nAllow: /c/ok\n")
+    # no agent: only the * group
+    assert parse_robots(txt) == [("/a", False), ("/a/pub", True)]
+    # agent matching BOTH specific tokens: longest token ('owlcrawler')
+    # wins and the * group is ignored entirely
+    assert parse_robots(txt, agent="OwlCrawler/1.0") == [
+        ("/c", False), ("/c/ok", True)]
+    # agent matching only the short token
+    assert parse_robots(txt, agent="owlbot") == [("/b", False)]
+    # agent matching nothing falls back to *
+    assert parse_robots(txt, agent="unrelated") == [
+        ("/a", False), ("/a/pub", True)]
+    # the allow-all form: empty Disallow is no rule at all
+    assert parse_robots("User-agent: *\nDisallow:\n") == []
+
+
+def test_robots_precedence_and_wildcards():
+    """RFC 9309 matching: longest-pattern-octets precedence, Allow wins
+    ties, `*` spans any octets, trailing `$` anchors the end, no match
+    means allowed; query strings participate in the match."""
+    from owlcrawler_ray.state.politeness import (
+        PolitenessConfig, PolitenessGate, parse_robots)
+
+    from owlcrawler_ray.state.politeness import _CompiledRules
+
+    txt = ("User-agent: *\n"
+           "Disallow: /shop/\n"
+           "Allow: /shop/public/\n"
+           "Disallow: /shop/public/*.json\n"
+           "Disallow: /exact.html$\n"
+           "Allow: /dup\n"
+           "Disallow: /dup\n")
+    r = _CompiledRules(parse_robots(txt))
+    assert not r.allowed("/shop/cart")            # /shop/ (7)
+    assert r.allowed("/shop/public/item")         # allow 14 > disallow 7
+    assert not r.allowed("/shop/public/a.json")   # wildcard 21 > allow 14
+    assert not r.allowed("/exact.html")           # anchored match
+    assert r.allowed("/exact.html.bak")           # $ stops the match
+    assert r.allowed("/dup")                      # tie -> Allow wins
+    assert r.allowed("/anything-else")            # no match -> allowed
+    # gate-level: query participates (pattern can hit it via *)
+    gate = PolitenessGate(PolitenessConfig(
+        disallow={"*": ["/search?*priv"]}))
+    assert not gate.allowed("http://h.test/search?x=priv")
+    assert gate.allowed("http://h.test/search?x=pub")
 
 
 def test_politeness_allowed_survives_malformed_url():

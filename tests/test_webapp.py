@@ -42,18 +42,28 @@ def test_webapp_status_search_addsite(crawl_out):
     try:
         base = f"http://127.0.0.1:{srv.server_port}"
 
-        # status counts == the crawl's own tables (/ == /index-status)
+        # status counts == the crawl's own tables (/ == /index-status,
+        # the reference indexHandler behavior) in the reference's
+        # index-status.html markup: <h2>N</h2> stat rows + a ranged
+        # <li><h3>site</h3></li> sites list
         n_pages = crawler.pages_table().num_rows
         n_sites0 = crawler.sites_table().num_rows
         body = _get(base + "/")
-        assert f"Fetched pages: {n_pages}" in body
-        assert f"Parsed pages: {n_pages}" in body  # every 200 page parses
-        assert f"Sites: {n_sites0}" in body
+        assert "Index Statistics" in body
+        assert f"<h2>{n_pages}</h2>" in body
+        assert "urls fetched" in body and "parsed urls" in body
+        assert body.count("<li><h3>") == n_sites0
+        assert 'class="active"><a href="/index-status">' in body
+        assert "OwlCrawler" in body
 
-        # search: corpus words score + highlight with real <strong> tags
+        # search: corpus words score + highlight with real <strong> tags,
+        # rendered as the reference's result rows (row marketing divs
+        # keyed by doc id, h4 title link, leading " ... " fragments)
         body = _get(base + "/index?term=owl+crawler")
         assert "<strong>owl</strong>" in body or "<strong>crawler</strong>" in body
-        assert "score" in body
+        assert '<div class="row marketing" id="' in body
+        assert "<h4><a href=" in body
+        assert "Search!" in body
         s = app.search("owl crawler")
         assert 0 < len(s) <= 10
         scores = [h["score"] for h in s]
@@ -65,12 +75,27 @@ def test_webapp_status_search_addsite(crawl_out):
         assert app.search("") == []
         assert app.search("zzzznotaword") == []
 
-        # add-site against the LIVE crawler: site- doc persisted
-        body = _get(base + "/add-site?url=http://host-3.test/")
+        # add-site against the LIVE crawler: site- doc persisted. The
+        # reference form POSTs (add-site.html method="POST") and renders
+        # the status line through the template's {{if .}} slot
+        req = urllib.request.Request(
+            base + "/add-site",
+            data=b"url=http%3A%2F%2Fhost-3.test%2F", method="POST")
+        with urllib.request.urlopen(req, timeout=10) as r:
+            body = r.read().decode("utf-8")
         assert "Site submitted" in body
+        assert "Scan!" in body  # the form re-renders around the message
         assert crawler.sites_table().num_rows == n_sites0 + 1
         body = _get(base + "/")
-        assert f"Sites: {n_sites0 + 1}" in body
+        assert body.count("<li><h3>") == n_sites0 + 1
+        # the GET ?url= form keeps working (detached journaling surface)
+        body = _get(base + "/add-site?url=http://host-3.test/")
+        assert "Site submitted" in body  # idempotent: dup doc not re-added
+        assert crawler.sites_table().num_rows == n_sites0 + 1
+
+        # static app assets the reference serves from its build dirs
+        assert "Disallow:" in _get(base + "/robots.txt")
+        assert ".container" in _get(base + "/styles/main.css")
 
         with pytest.raises(urllib.error.HTTPError) as e:
             _get(base + "/nope")
@@ -89,7 +114,7 @@ def test_webapp_detached_addsite_journal(tmp_path):
     with open(f"{out}/submitted-sites.txt") as f:
         assert f.read() == "http://host-1.test/\n"
     # stats over an empty/missing store must serve zeros, not crash
-    assert app.stats() == {"fetched": 0, "parsed": 0, "sites": 0}
+    assert app.stats() == {"fetched": 0, "parsed": 0, "sites": []}
 
 
 def test_search_highlight_escapes_corpus_markup(tmp_path):
