@@ -43,6 +43,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--fetch-concurrency", type=int, default=16)
     p.add_argument("--robots", action="store_true",
                    help="fetch+cache robots.txt per host (polite mode)")
+    p.add_argument("--agent", default="",
+                   help="user-agent product token for RFC 9309 robots "
+                        "group selection (unset: honor only `*` groups)")
     p.add_argument("--add-site", action="append", default=[],
                    metavar="URL",
                    help="inject a new seed site before running (repeatable;"
@@ -82,7 +85,8 @@ def main(argv: list[str] | None = None) -> int:
         fetch_robots=args.robots,
         keep_logs=False,
         politeness=PolitenessConfig(
-            mode=args.mode, rate_per_s=args.rate, burst=args.burst
+            mode=args.mode, rate_per_s=args.rate, burst=args.burst,
+            agent=args.agent,
         ),
         seen_spill=args.seen_spill,
     )

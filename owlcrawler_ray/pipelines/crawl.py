@@ -240,17 +240,39 @@ def _fetch_extract_fn(web_cfg, raw_tmp, imgs_tmp, fetch_inline: bool,
     return fe
 
 
-def _join_stamps(stamps_ref, key: str, cols: list[str] | None,
-                 batch: pa.Table) -> pa.Table:
-    """Task-side broadcast join of one round's stamps sidecar into a batch
-    of that round's output rows. ``stamps_ref`` is the round's url-keyed
-    stamps table, ray.put once on the driver (bounded: O(successes) of ONE
-    round, never the whole crawl) and read zero-copy from the object store
-    here. Every output row is a committed success, so a missing stamp is a
-    store-corruption signal and hard-fails rather than mis-stamping."""
+# per-worker-process cache of round stamps sidecars: tasks of one round
+# run consecutively on a worker, so each worker reads a round's (small,
+# O(budget)-row) sidecar once; bounded so a view walk over many rounds
+# cannot accumulate
+_STAMPS_CACHE: dict[tuple, pa.Table] = {}
+
+
+def _read_stamps(wname: str, paths: tuple[str, ...]) -> pa.Table:
+    key = (wname, paths)
+    t = _STAMPS_CACHE.get(key)
+    if t is None:
+        if len(_STAMPS_CACHE) >= 64:
+            _STAMPS_CACHE.clear()
+        t = pa.concat_tables(
+            [table_store.WRITERS[wname].read(p) for p in paths],
+            promote_options="default",
+        )
+        _STAMPS_CACHE[key] = t
+    return t
+
+
+def _join_stamps(wname: str, stamp_paths: tuple[str, ...], key: str,
+                 cols: list[str] | None, batch: pa.Table) -> pa.Table:
+    """Task-side join of one round's stamps sidecar into a batch of that
+    round's output rows. The sidecar is bounded at O(successes) of ONE
+    round by the politeness budget and is read INSIDE the task (per-worker
+    cached) — the driver ships only its part paths, so building/consuming
+    the view moves zero row data through the driver. Every output row is
+    a committed success, so a missing stamp is a store-corruption signal
+    and hard-fails rather than mis-stamping."""
     if batch.num_rows == 0:
         return batch
-    stamps = ray.get(stamps_ref)
+    stamps = _read_stamps(wname, stamp_paths)
     pos = pc.index_in(
         batch.column(key).combine_chunks(),
         value_set=stamps.column("url").combine_chunks(),
@@ -926,32 +948,38 @@ class Crawler:
         """Streaming view of a crawl output table with its stamps sidecar
         joined back in TASK-SIDE: each round's stamps table is bounded by
         budget_per_round (O(successes) url-keyed rows — never the whole
-        crawl), so it is ray.put once per round and looked up inside
-        map_batches via pc.index_in. No shuffle, no driver concat; the
-        union across rounds stays lazy, so at 10^10 URLs this view streams
-        block-by-block while the old driver-Table form would have pulled
-        every html/image byte through the driver heap."""
+        crawl) and is read inside the map tasks (per-worker cached; only
+        its part PATHS ship from the driver), looked up via pc.index_in.
+        No shuffle, no driver row traffic at all; the union across rounds
+        stays lazy, so at 10^10 URLs this view streams block-by-block
+        while the old driver-Table form would have pulled every
+        html/image byte through the driver heap. Rounds union as a
+        BALANCED tree — a crawl is O(total/budget) rounds and a left-deep
+        chain would build an O(rounds)-deep plan."""
         parts = []
         for r in table_store.list_rounds(self.cfg.out_dir, name):
             ds = table_store.round_dataset(self.cfg.out_dir, name, r)
             if ds is None:
                 continue  # round committed with zero successes
-            stamps = table_store.read_all_arrow_round(
+            wname, spaths = table_store.round_part_paths(
                 self.cfg.out_dir, "stamps", r
             )
-            ref = ray.put(stamps)
             parts.append(
                 ds.map_batches(
-                    partial(_join_stamps, ref, key, stamp_cols),
+                    partial(_join_stamps, wname, tuple(spaths), key,
+                            stamp_cols),
                     batch_format="pyarrow", zero_copy_batch=True,
                 )
             )
         if not parts:
             return rd.from_arrow(pa.table({}))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.union(p)
-        return out
+        while len(parts) > 1:  # balanced union tree
+            parts = [
+                parts[i].union(parts[i + 1]) if i + 1 < len(parts)
+                else parts[i]
+                for i in range(0, len(parts), 2)
+            ]
+        return parts[0]
 
     def pages_dataset(self) -> "rd.Dataset":
         """Pages as a lazy streaming Dataset with the stamps sidecar merged
