@@ -248,7 +248,14 @@ _STAMPS_CACHE: dict[tuple, pa.Table] = {}
 
 
 def _read_stamps(wname: str, paths: tuple[str, ...]) -> pa.Table:
-    key = (wname, paths)
+    # cache key includes each part's (mtime, size): a resumed crawl
+    # prunes and REWRITES round dirs at the same paths (the stamps part
+    # name is keyed by round id alone), so a long-lived worker must not
+    # serve the pre-resume sidecar for a rewritten path
+    key = (wname, tuple(
+        (p, st.st_mtime_ns, st.st_size)
+        for p in paths for st in (os.stat(p),)
+    ))
     t = _STAMPS_CACHE.get(key)
     if t is None:
         if len(_STAMPS_CACHE) >= 64:

@@ -189,3 +189,32 @@ def test_fingerprint_tokenizes_fetcher_factory():
     again = replace(base, fetcher_factory=partial(
         HttpFetcher, rewrite_base="http://127.0.0.1:1"))
     assert h1.fingerprint() == again.fingerprint()
+
+
+def test_stamps_cache_invalidates_on_rewrite(tmp_path):
+    """The per-worker stamps-sidecar cache must not serve a pre-resume
+    table for a path a resumed run pruned and REWROTE (the stamps part
+    name is keyed by round id alone, so the path repeats): the cache key
+    includes each part's (mtime, size)."""
+    import os
+
+    import pyarrow as pa
+
+    from owlcrawler_ray.pipelines.crawl import _read_stamps
+    from owlcrawler_ray.sinks import table_store
+
+    p = str(tmp_path / ("part-x" + table_store.WRITER.ext))
+    t1 = pa.table({"url": ["a"], "tick": pa.array([1], pa.int64())})
+    table_store.WRITER.write(t1, p)
+    got1 = _read_stamps(table_store.WRITER.name, (p,))
+    assert got1.column("tick").to_pylist() == [1]
+    # rewrite the SAME path with different content (what prune+rerun
+    # does); nudge mtime in case the fs clock is coarse
+    t2 = pa.table({"url": ["a"], "tick": pa.array([2], pa.int64())})
+    table_store.WRITER.write(t2, p)
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    got2 = _read_stamps(table_store.WRITER.name, (p,))
+    assert got2.column("tick").to_pylist() == [2]
+    # and the memo still works for an UNCHANGED file
+    assert _read_stamps(table_store.WRITER.name, (p,)) is got2
