@@ -257,10 +257,21 @@ def run_default() -> dict:
     import ray
 
     legs = [_crawl_leg(NCPU), _crawl_leg(NCPU)]
+    # adaptive third/fourth leg: identical-code legs have measured 74 vs
+    # 28 s on this VM under neighbor load (STATS.md r3), and the recorded
+    # artifact is min-of-legs — when the first two disagree by >1.25x or
+    # both sit above the quiet-window band (~20 s at 32 cpus; scaled by
+    # width), the window is suspect and one or two more legs buy a far
+    # more representative minimum for ~40 s each
+    quiet_band = 20.0 * (32.0 / max(NCPU, 1))
+    for _ in range(2):
+        secs = sorted(l["crawl"]["sec"] for l in legs)
+        if secs[-1] / max(secs[0], 1e-9) <= 1.25 and secs[0] <= quiet_band:
+            break
+        legs.append(_crawl_leg(NCPU))
     best = min(legs, key=lambda r: r["crawl"]["sec"])
-    # machine-state flag: identical-code legs have measured 74 vs 28 s on
-    # this VM under neighbor load (STATS.md r3) — record the leg spread so
-    # a future reader can tell session noise from a code regression
+    # machine-state flag: record the leg spread so a future reader can
+    # tell session noise from a code regression
     secs = sorted(l["crawl"]["sec"] for l in legs)
     leg_spread = round(secs[-1] / max(secs[0], 1e-9), 3)
     session = "noisy" if leg_spread > 1.25 else "quiet"
@@ -292,11 +303,17 @@ def run_scaling() -> dict:
     raw_legs: dict = {}
 
     def sub(ncpu: int) -> dict:
-        # best-of-2: the sandbox VM has noisy neighbors (observed 49s vs
-        # 83s for identical runs); min-of-repeats measures the engine
-        a, b = _crawl_leg(ncpu), _crawl_leg(ncpu)
-        raw_legs[ncpu] = sorted([a["crawl"]["sec"], b["crawl"]["sec"]])
-        return a if a["crawl"]["sec"] <= b["crawl"]["sec"] else b
+        # best-of-2 (+1 adaptive): the sandbox VM has noisy neighbors
+        # (observed 49s vs 83s for identical runs); min-of-repeats
+        # measures the engine, and a third leg is taken when the first
+        # two disagree by >1.25x so one depressed leg cannot skew the
+        # recorded efficiency ratio
+        legs = [_crawl_leg(ncpu), _crawl_leg(ncpu)]
+        secs = sorted(l["crawl"]["sec"] for l in legs)
+        if secs[-1] > 1.25 * secs[0]:
+            legs.append(_crawl_leg(ncpu))
+        raw_legs[ncpu] = sorted(l["crawl"]["sec"] for l in legs)
+        return min(legs, key=lambda r: r["crawl"]["sec"])
 
     # N=2 vs 4N=8: both legs sit well inside the PHYSICAL core budget. The
     # box advertises 32 logical cpus, but measured ceilings for this
