@@ -59,6 +59,34 @@ def host_of(url: str) -> str:
         return ""
 
 
+def host_of_many(urls) -> list[str]:
+    """Vectorized ``host_of`` over a list or Arrow string array: one RE2
+    pass captures everything between ``scheme://`` and the first
+    ``/?#`` — bit-equal to ``urlsplit().netloc`` for every scheme-ful
+    URL without IPv6 brackets. Non-matches (scheme-less, protocol-
+    relative) and bracket hosts (where urlsplit may RAISE on malformed
+    input and host_of maps that to "") fall back to the scalar path, so
+    the function is exactly host_of, just ~10x faster on the crawl's
+    link volume."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = urls if isinstance(urls, pa.Array) else pa.array(urls, pa.string())
+    if len(arr) == 0:
+        return []
+    st = pc.extract_regex(
+        arr, pattern=r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<host>[^/?#]*)"
+    )
+    # NB: .field() ignores STRUCT-level nulls (non-matches read as ""),
+    # so validity must come from the struct array itself
+    valid = pc.is_valid(st).to_pylist()
+    out = st.field("host").to_pylist()
+    for i, h in enumerate(out):
+        if not valid[i] or "[" in h or "]" in h:
+            out[i] = host_of(arr[i].as_py())
+    return out
+
+
 def url_hash64(url: str) -> int:
     """Stable 64-bit hash of a URL (blake2b/8B) — sharding + sketch key.
     Stable across processes and runs (unlike Python hash())."""

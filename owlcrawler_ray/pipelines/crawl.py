@@ -462,23 +462,22 @@ class Crawler:
         return ids.shard_of(hosts, self.cfg.num_frontier_shards)
 
     def _push_frontier(self, urls, depths, prios, seqs) -> None:
-        if not urls:
+        if not len(urls):
             return
-        hosts = [ids.host_of(u) for u in urls]
+        hosts = ids.host_of_many(urls)
         shard = self._host_shard(hosts)
+        # build ONE Arrow table, route shards with take — the old
+        # per-shard python list comprehensions were 4 x O(links) of
+        # driver work per round (SCALING.md mega-round links_push)
+        t_all = entries_table(urls, hosts, depths, prios, seqs)
         futs = []
         for s in range(self.cfg.num_frontier_shards):
             idx = np.where(shard == s)[0]
             if not len(idx):
                 continue
-            t = entries_table(
-                [urls[i] for i in idx],
-                [hosts[i] for i in idx],
-                [depths[i] for i in idx],
-                [prios[i] for i in idx],
-                [seqs[i] for i in idx],
-            )
-            futs.append(self.frontier[s].push_table.remote(t))
+            futs.append(self.frontier[s].push_table.remote(
+                t_all.take(pa.array(idx, type=pa.int64()))
+            ))
         ray.get(futs)
 
     def _contains_many(self, urls: list[str]) -> dict[str, bool]:
@@ -737,54 +736,82 @@ class Crawler:
         )
         tmr["attempts_write"] = time.perf_counter() - _t0
         _t0 = time.perf_counter()
-        # ---- advisory link filter + stamps (driver, vectorized-ish) -----
-        # slim rows for successes, in TICK order (serial extract order)
-        ok_mask = pa.array([u in meta for u in slim.column("url").to_pylist()])
-        succ = slim.filter(ok_mask)
-        s_urls = succ.column("url").to_pylist()
-        order_idx = sorted(range(len(s_urls)), key=lambda i: meta[s_urls[i]][0])
-        succ = succ.take(pa.array(order_idx, type=pa.int64()))
-        s_urls = [s_urls[i] for i in order_idx]
-        s_ticks = [meta[u][0] for u in s_urls]
-        s_cands = succ.column("fetch_candidates").to_pylist()
+        # ---- advisory link filter + stamps (driver, VECTORIZED) ---------
+        # slim rows for successes, in TICK order: meta's insertion order
+        # IS tick order (the walk above inserts at increasing tick and
+        # python dicts preserve insertion), so ONE index_in + take
+        # replaces the old python membership mask + sort — these driver
+        # loops were 2.7 s + 2.4 s of a 110k-tick mega-round (SCALING.md)
+        s_urls = list(meta)
+        n_s = len(s_urls)
+        t_np = np.fromiter((meta[u][0] for u in s_urls), np.int64, count=n_s)
+        fs_np = np.fromiter((meta[u][1] for u in s_urls), np.int64, count=n_s)
+        s_urls_arr = pa.array(s_urls, pa.string())
+        succ = slim.take(
+            pc.index_in(s_urls_arr,
+                        value_set=slim.column("url").combine_chunks())
+        )
+        cands = succ.column("fetch_candidates").combine_chunks()
+        flat = pc.list_flatten(cands)
+        parent = pc.list_parent_indices(cands).to_numpy(zero_copy_only=False)
         # batched seen-shard RPC for ALL candidates of the round (the
-        # replacement for the reference's per-link HEAD check)
-        uniq = sorted({c for cl in s_cands for c in cl})
-        seen_before: dict[str, bool] = {}
+        # replacement for the reference's per-link HEAD check); the
+        # blake2b shard hash is the one per-string python cost kept —
+        # it must stay stable across processes/checkpoints (ids.py)
+        uniq_arr = pc.unique(flat)
+        uniq_arr = uniq_arr.take(pc.sort_indices(uniq_arr))
+        uniq = uniq_arr.to_pylist()
+        seen_np = np.zeros(len(uniq), dtype=bool)
         if uniq:
             shards = ids.shard_of(uniq, cfg.num_seen_shards)
-            per = [[] for _ in range(cfg.num_seen_shards)]
-            for u, sh in zip(uniq, shards):
-                per[int(sh)].append(u)
-            futs, fsh = [], []
+            futs, fidx = [], []
             for sh in range(cfg.num_seen_shards):
-                if per[sh]:
-                    futs.append(self.seen[sh].contains_many.remote(per[sh]))
-                    fsh.append(sh)
-            for sh, mask in zip(fsh, ray.get(futs)):
-                for u, m in zip(per[sh], mask):
-                    seen_before[u] = bool(m)
-        links_q = []
-        for u, tick, cl in zip(s_urls, s_ticks, s_cands):
-            links_q.append(
-                [c for c in cl
-                 if not seen_before.get(c, False)
-                 and not (c in succ_tick and succ_tick[c] <= tick)]
-            )
-        # stamps sidecar (joined back into pages_table() on read)
-        ts = pa.timestamp("us")
-        vt_us = [EPOCH_US + t * cfg.tick_seconds * 1_000_000 for t in s_ticks]
+                idx = np.where(shards == sh)[0]
+                if len(idx):
+                    futs.append(self.seen[sh].contains_many.remote(
+                        [uniq[i] for i in idx]))
+                    fidx.append(idx)
+            for idx, mask in zip(fidx, ray.get(futs)):
+                seen_np[idx] = np.asarray(mask, dtype=bool)
+        if len(parent):
+            flat_seen = seen_np[
+                pc.index_in(flat, value_set=uniq_arr)
+                .to_numpy(zero_copy_only=False)
+            ]
+            # drop a candidate fetched EARLIER this round (tick <= the
+            # linking page's tick); later-tick fetches stay queued —
+            # exactly the old per-candidate dict condition
+            sidx = pc.fill_null(
+                pc.index_in(flat, value_set=s_urls_arr), -1
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            in_round = sidx >= 0
+            cand_tick = np.where(in_round, t_np[np.maximum(sidx, 0)],
+                                 np.int64(2**62))
+            keep = ~(flat_seen | (in_round & (cand_tick <= t_np[parent])))
+        else:
+            keep = np.zeros(0, dtype=bool)
+        kept_vals = flat.filter(pa.array(keep))
+        kept_parent = parent[keep]
+        offsets = np.zeros(n_s + 1, dtype=np.int32)
+        if len(kept_parent):
+            np.cumsum(np.bincount(kept_parent, minlength=n_s),
+                      out=offsets[1:])
+        links_list = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), kept_vals
+        )
+        # stamps sidecar (joined back into pages_dataset() on read)
+        vt_us = pa.array(
+            EPOCH_US + t_np * (cfg.tick_seconds * 1_000_000)
+        ).cast(pa.timestamp("us"))
         stamps = pa.table(
             {
-                "url": pa.array(s_urls, pa.string()),
-                "tick": pa.array(s_ticks, pa.int64()),
-                "fetch_seq": pa.array([meta[u][1] for u in s_urls], pa.int64()),
-                "virtual_time_s": pa.array(
-                    [t * cfg.tick_seconds for t in s_ticks], pa.int64()
-                ),
-                "links_to_queue": pa.array(links_q, pa.list_(pa.string())),
-                "fetched_on": pa.array(vt_us, type=ts),
-                "parsed_on": pa.array(vt_us, type=ts),
+                "url": s_urls_arr,
+                "tick": pa.array(t_np),
+                "fetch_seq": pa.array(fs_np),
+                "virtual_time_s": pa.array(t_np * cfg.tick_seconds),
+                "links_to_queue": links_list,
+                "fetched_on": vt_us,
+                "parsed_on": vt_us,
             }
         )
         stamps_tmp = table_store.begin_round(cfg.out_dir, "stamps", self.round_id)
@@ -792,22 +819,24 @@ class Crawler:
         table_store.commit_round(cfg.out_dir, "stamps", self.round_id)
         tmr["stamps"] = time.perf_counter() - _t0
         _t0 = time.perf_counter()
-        n_images = int(
-            sum(len(x) for x in succ.column("img_urls").to_pylist())
-        ) if cfg.write_images else 0
+        n_images = int(pc.sum(
+            pc.list_value_length(succ.column("img_urls"))
+        ).as_py() or 0) if cfg.write_images else 0
         tmr["images"] = time.perf_counter() - _t0
         _t0 = time.perf_counter()
         # ---- frontier growth: seqs in (tick, doc-order) = publish order -
-        s_depths = succ.column("depth").to_pylist()
-        new_urls, new_depths = [], []
-        for d, lq in zip(s_depths, links_q):
-            for link in lq:
-                new_urls.append(link)
-                new_depths.append(int(d) + 1)
-        new_seqs = list(range(self.next_seq, self.next_seq + len(new_urls)))
-        self.next_seq += len(new_urls)
+        # (kept-candidate flatten order == tick-major, per-page doc order;
+        # the url column ships as the Arrow array it already is)
+        n_new = len(kept_vals)
+        new_depths = (
+            succ.column("depth").to_numpy(zero_copy_only=False)
+            .astype(np.int32)[kept_parent] + 1
+        )
+        new_seqs = np.arange(self.next_seq, self.next_seq + n_new,
+                             dtype=np.int64)
+        self.next_seq += n_new
         self._push_frontier(
-            new_urls, new_depths, [0.0] * len(new_urls), new_seqs
+            kept_vals, new_depths, np.zeros(n_new, np.float32), new_seqs
         )
         tmr["links_push"] = time.perf_counter() - _t0
         _t0 = time.perf_counter()
@@ -831,7 +860,7 @@ class Crawler:
             "attempts": len(round_attempts),
             "successes": len(round_success_urls),
             "images": int(n_images),
-            "new_links": len(new_urls),
+            "new_links": int(n_new),
             "per_host_fetches": per_host,
             "timings": {k: round(v, 3) for k, v in tmr.items()},
         }

@@ -127,8 +127,10 @@ class FrontierShard:
 def entries_table(urls, hosts, depths, priorities, seqs) -> pa.Table:
     return pa.table(
         {
-            "url": pa.array(urls, type=pa.string()),
-            "host": pa.array(hosts, type=pa.string()),
+            "url": urls if isinstance(urls, pa.Array)
+            else pa.array(urls, type=pa.string()),
+            "host": hosts if isinstance(hosts, pa.Array)
+            else pa.array(hosts, type=pa.string()),
             "depth": pa.array(np.asarray(depths, dtype=np.int32)),
             "priority": pa.array(np.asarray(priorities, dtype=np.float32)),
             "discovered_seq": pa.array(np.asarray(seqs, dtype=np.int64)),

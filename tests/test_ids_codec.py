@@ -128,3 +128,30 @@ def test_codec_roundtrip_property():
             assert psnr >= 40.0, (fmt, psnr)
 
     run()
+
+
+def test_host_of_many_matches_scalar_host_of():
+    """host_of_many is a vectorized host_of (RE2 capture + scalar
+    fallback for non-matches/bracket hosts): differential over scheme
+    variants, userinfo/ports, IPv6, malformed brackets (urlsplit raises
+    -> ""), protocol-relative, scheme-less, and a seeded ascii fuzz."""
+    import random
+    import string
+
+    from owlcrawler_ray.functions.ids import host_of, host_of_many
+
+    urls = [
+        "http://host-1.test/page-2.html", "https://a.b:8080/x?q=1#f",
+        "HTTP://UP.example/", "ftp://u:p@h/", "http://[::1]/x",
+        "http://[x/p", "//proto-rel/x", "mailto:a@b", "",
+        "http://h#frag", "http://h?only=query", "weird",
+        "x+y-z.1://host/p", "http:///emptyhost", "http://",
+    ]
+    assert host_of_many(urls) == [host_of(u) for u in urls]
+    rng = random.Random(0)
+    fuzz = [
+        "".join(rng.choice(string.printable[:80])
+                for _ in range(rng.randint(0, 30)))
+        for _ in range(2000)
+    ]
+    assert host_of_many(fuzz) == [host_of(u) for u in fuzz]
