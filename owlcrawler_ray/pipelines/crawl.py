@@ -499,72 +499,111 @@ class Crawler:
                 out[u] = bool(m)
         return out
 
+    def _seen_mask_np(self, url_arr: pa.Array) -> np.ndarray:
+        """Vectorized seen-set membership for an Arrow string array:
+        dedup -> batched per-shard RPC -> index_in map-back. Same RPC
+        shape as ``_contains_many`` but per-occurrence output without a
+        python dict pass. The blake2b shard hash is the one per-string
+        python cost kept — it must stay stable across processes and
+        checkpoints (ids.py)."""
+        n = len(url_arr)
+        if not n:
+            return np.zeros(0, dtype=bool)
+        uniq_arr = pc.unique(url_arr)
+        uniq = uniq_arr.to_pylist()
+        seen_u = np.zeros(len(uniq), dtype=bool)
+        shards = ids.shard_of(uniq, self.cfg.num_seen_shards)
+        futs, fidx = [], []
+        for sh in range(self.cfg.num_seen_shards):
+            idx = np.where(shards == sh)[0]
+            if len(idx):
+                futs.append(self.seen[sh].contains_many.remote(
+                    [uniq[i] for i in idx]))
+                fidx.append(idx)
+        for idx, mask in zip(fidx, ray.get(futs)):
+            seen_u[idx] = np.asarray(mask, dtype=bool)
+        pos = pc.index_in(url_arr, value_set=uniq_arr)
+        return seen_u[pos.to_numpy(zero_copy_only=False)]
+
     # ------------------------------------------------------------------
-    def _admit_parity(self) -> list[dict]:
+    def _admit_parity(self) -> pa.Table:
         """First-K-unseen occurrences in global (priority, seq) order —
         the reference's dequeue loop (fetcher.go:94-103) in batch form.
-        Seen occurrences encountered on the way are discarded tick-free."""
+        Seen occurrences encountered on the way are discarded tick-free.
+        Returns an ENTRY_SCHEMA table in admit order (all Arrow/numpy:
+        the old per-entry tuple walk was ~1 s of a 110k-tick round)."""
         K = self.cfg.budget_per_round
+        empty = entries_table([], [], [], [], [])
         if self.cfg.max_ticks is not None:
             K = min(K, self.cfg.max_ticks - self.tick)
             if K <= 0:
-                return []
+                return empty
         nf = self.cfg.num_frontier_shards
         W = K
         while True:
             peeks = ray.get([self.frontier[s].peek.remote(W) for s in range(nf)])
-            entries: list[tuple[float, int, str, str, int]] = []
             horizon: tuple[float, int] | None = None
             for t in peeks:
-                rows = list(
-                    zip(
-                        t.column("priority").to_pylist(),
-                        t.column("discovered_seq").to_pylist(),
-                        t.column("url").to_pylist(),
-                        t.column("host").to_pylist(),
-                        t.column("depth").to_pylist(),
+                if t.num_rows == W:  # shard may hold more beyond its peek
+                    last = (
+                        t.column("priority")[W - 1].as_py(),
+                        t.column("discovered_seq")[W - 1].as_py(),
+                    )
+                    horizon = last if horizon is None else min(horizon, last)
+            ent = pa.concat_tables(peeks)
+            ent = ent.take(
+                pc.sort_indices(
+                    ent,
+                    sort_keys=[("priority", "ascending"),
+                               ("discovered_seq", "ascending")],
+                )
+            )
+            if horizon is not None:
+                hp, hs = horizon
+                prio = ent.column("priority")
+                seq = ent.column("discovered_seq")
+                ent = ent.filter(
+                    pc.or_(
+                        pc.less(prio, hp),
+                        pc.and_(pc.equal(prio, hp), pc.less_equal(seq, hs)),
                     )
                 )
-                entries.extend(rows)
-                if len(rows) == W:  # this shard may hold more beyond its peek
-                    last = (rows[-1][0], rows[-1][1])
-                    horizon = last if horizon is None else min(horizon, last)
-            entries.sort(key=lambda e: (e[0], e[1]))
-            if horizon is not None:
-                entries = [e for e in entries if (e[0], e[1]) <= horizon]
-            if not entries:
-                return []
-            seen_mask = self._contains_many([e[2] for e in entries])
-            admitted, discard = [], []
+            if not ent.num_rows:
+                return empty
+            unseen = ~self._seen_mask_np(ent.column("url").combine_chunks())
+            cum = np.cumsum(unseen)
+            n_unseen = int(cum[-1])
+            # the reference loop stops right after the Kth unseen entry:
+            # scanned = that prefix; admitted = unseen within it,
+            # discards = seen within it (all scanned seqs are consumed)
+            scanned = (
+                int(np.searchsorted(cum, K)) + 1 if n_unseen >= K
+                else ent.num_rows
+            )
             truncated = horizon is not None
-            for prio, seq, url, host, depth in entries:
-                if seen_mask[url]:
-                    discard.append(seq)
-                    continue
-                admitted.append(
-                    {"url": url, "host": host, "depth": depth,
-                     "priority": prio, "seq": seq}
-                )
-                if len(admitted) >= K:
-                    break
-            if len(admitted) >= K or not truncated:
-                consumed = discard + [a["seq"] for a in admitted]
-                cset = set(consumed)
+            if n_unseen >= K or not truncated:
+                consumed = ent.column("discovered_seq").slice(0, scanned)
                 futs = []
                 for s in range(nf):
-                    shard_seqs = [
-                        q for q in peeks[s].column("discovered_seq").to_pylist()
-                        if q in cset
-                    ]
-                    if shard_seqs:
-                        futs.append(self.frontier[s].remove_seqs.remote(shard_seqs))
+                    shard_seqs = peeks[s].column("discovered_seq").filter(
+                        pc.is_in(peeks[s].column("discovered_seq"),
+                                 value_set=consumed.combine_chunks())
+                    )
+                    if len(shard_seqs):
+                        futs.append(self.frontier[s].remove_seqs.remote(
+                            shard_seqs.to_pylist()))
                 ray.get(futs)
-                return admitted
+                return ent.slice(0, scanned).filter(
+                    pa.array(unseen[:scanned])
+                )
             W *= 2  # scanned window exhausted by discards; widen and retry
 
-    def _admit_polite(self) -> list[dict]:
+    def _admit_polite(self) -> pa.Table:
         """Scale-mode admission: per-host token buckets cap each host's
-        share of a round; hosts starve independently, not each other."""
+        share of a round; hosts starve independently, not each other.
+        The robots gate + token-bucket walk stays per-entry python (the
+        gate's URL parse is semantic, and the scan is bounded by the
+        peek window W); only the return shape is Arrow."""
         now = float(self.tick * self.cfg.tick_seconds)
         nf = self.cfg.num_frontier_shards
         W = max(self.cfg.budget_per_round, 64)
@@ -596,14 +635,11 @@ class Crawler:
         for host, es in sorted(by_host.items()):
             budget = self.gate.admit_budget(host, len(es), now)
             for prio, seq, url, h, depth in es[:budget]:
-                admitted.append(
-                    {"url": url, "host": h, "depth": depth,
-                     "priority": prio, "seq": seq}
-                )
-        admitted.sort(key=lambda a: (a["priority"], a["seq"]))
+                admitted.append((prio, seq, url, h, depth))
+        admitted.sort(key=lambda a: (a[0], a[1]))
         if self.cfg.max_ticks is not None:
             admitted = admitted[: max(0, self.cfg.max_ticks - self.tick)]
-        cset = set(discard) | {a["seq"] for a in admitted}
+        cset = set(discard) | {a[1] for a in admitted}
         futs = []
         for s in range(nf):
             shard_seqs = [
@@ -612,27 +648,28 @@ class Crawler:
             if shard_seqs:
                 futs.append(self.frontier[s].remove_seqs.remote(shard_seqs))
         ray.get(futs)
-        return admitted
+        return entries_table(
+            [a[2] for a in admitted],
+            [a[3] for a in admitted],
+            [a[4] for a in admitted],
+            [a[0] for a in admitted],
+            [a[1] for a in admitted],
+        )
 
     # ------------------------------------------------------------------
-    def _process_round(self, admitted: list[dict]) -> dict:
+    def _process_round(self, admitted: pa.Table) -> dict:
         cfg = self.cfg
         tmr: dict[str, float] = {}
         _t0 = time.perf_counter()
         # distinct urls, first-occurrence order (dup occurrences resolve at
         # tick assignment: first success discards later dups tick-free,
-        # failures retry per occurrence — exactly the dequeue semantics)
-        firsts: dict[str, dict] = {}
-        for a in admitted:
-            firsts.setdefault(a["url"], a)
-        order = list(firsts.values())
-        tbl = entries_table(
-            [a["url"] for a in order],
-            [a["host"] for a in order],
-            [a["depth"] for a in order],
-            [a["priority"] for a in order],
-            [a["seq"] for a in order],
-        )
+        # failures retry per occurrence — exactly the dequeue semantics).
+        # pc.unique preserves order of first appearance, so index_in of
+        # the uniques against the full column IS the firsts selection.
+        adm_urls = admitted.column("url").combine_chunks()
+        uniq_urls = pc.unique(adm_urls)
+        first_idx = pc.index_in(uniq_urls, value_set=adm_urls)
+        tbl = admitted.take(first_idx)
         n = tbl.num_rows
         conc = max(1, min(cfg.fetch_concurrency, math.ceil(n / cfg.fetch_batch_size)))
         # block sizing: ~100 pages/task keeps tasks ~1s — coarse blocks
@@ -686,50 +723,55 @@ class Crawler:
             table_store.commit_round(cfg.out_dir, "images", self.round_id)
         tmr["fetch_extract"] = time.perf_counter() - _t0
         _t0 = time.perf_counter()
-        status = dict(
-            zip(slim.column("url").to_pylist(),
-                slim.column("status").to_pylist())
-        )
-        # ---- politeness-tick assignment (driver, O(admitted)) ----------
-        succ_tick: dict[str, int] = {}
-        meta: dict[str, tuple[int, int]] = {}
-        round_attempts, round_success_urls = [], []
-        for a in admitted:
-            u = a["url"]
-            if u in succ_tick:
-                continue  # dup of an already-successful fetch: tick-free
-            self.tick += 1
-            st = int(status[u])
-            round_attempts.append(
-                {"tick": self.tick, "virtual_time_s": self.tick * cfg.tick_seconds,
-                 "url": u, "status": st}
-            )
-            if st == 200:
-                succ_tick[u] = self.tick
-                meta[u] = (self.tick, self.fetch_seq)
-                self.fetch_seq += 1
-                round_success_urls.append(u)
+        # ---- politeness-tick assignment (driver, VECTORIZED) -----------
+        # One tick per occurrence EXCEPT later occurrences of a url whose
+        # fetch succeeded (the first success discards its dups tick-free;
+        # failures retry per occurrence). A url's status is per-round
+        # constant, so "an earlier occurrence already succeeded" is
+        # exactly (status==200 AND not first occurrence).
+        slim_urls = slim.column("url").combine_chunks()
+        st_np = slim.column("status").to_numpy(zero_copy_only=False)
+        occ_slim_pos = pc.index_in(adm_urls, value_set=slim_urls)
+        if occ_slim_pos.null_count:  # fetch stage lost a url: fail loud
+            raise RuntimeError("admitted url missing from fetch output")
+        st_occ = st_np[occ_slim_pos.to_numpy(zero_copy_only=False)]
+        is_first = np.zeros(admitted.num_rows, dtype=bool)
+        is_first[first_idx.to_numpy(zero_copy_only=False)] = True
+        keep = is_first | (st_occ != 200)
+        ticks_all = self.tick + np.cumsum(keep)
+        n_att = int(keep.sum())
+        self.tick += n_att
+        keep_arr = pa.array(keep)
+        att_urls = adm_urls.filter(keep_arr)
+        att_ticks = ticks_all[keep]
+        att_status = st_occ[keep].astype(np.int32)
+        succ_mask = att_status == 200
+        n_s = int(succ_mask.sum())
+        s_urls_arr = att_urls.filter(pa.array(succ_mask))
+        t_np = att_ticks[succ_mask]
+        fs_np = np.arange(self.fetch_seq, self.fetch_seq + n_s, dtype=np.int64)
+        self.fetch_seq += n_s
         tmr["tick_walk"] = time.perf_counter() - _t0
         _t0 = time.perf_counter()
         if cfg.keep_logs:
-            self.attempts_log.extend(round_attempts)
-            for u in round_success_urls:
-                t, fs = meta[u]
-                self.fetch_log.append(
-                    {"fetch_seq": fs, "url": u, "doc_id": ids.doc_id(u),
-                     "tick": t, "virtual_time_s": t * cfg.tick_seconds}
-                )
+            round_attempts_py = att_urls.to_pylist()
+            self.attempts_log.extend(
+                {"tick": int(t), "virtual_time_s": int(t) * cfg.tick_seconds,
+                 "url": u, "status": int(st)}
+                for t, u, st in zip(att_ticks, round_attempts_py, att_status)
+            )
+            self.fetch_log.extend(
+                {"fetch_seq": int(fs), "url": u, "doc_id": ids.doc_id(u),
+                 "tick": int(t), "virtual_time_s": int(t) * cfg.tick_seconds}
+                for fs, u, t in zip(fs_np, s_urls_arr.to_pylist(), t_np)
+            )
         table_store.write_round(
             pa.table(
                 {
-                    "tick": pa.array([r["tick"] for r in round_attempts], pa.int64()),
-                    "virtual_time_s": pa.array(
-                        [r["virtual_time_s"] for r in round_attempts], pa.int64()
-                    ),
-                    "url": pa.array([r["url"] for r in round_attempts]),
-                    "status": pa.array(
-                        [r["status"] for r in round_attempts], pa.int32()
-                    ),
+                    "tick": pa.array(att_ticks),
+                    "virtual_time_s": pa.array(att_ticks * cfg.tick_seconds),
+                    "url": att_urls,
+                    "status": pa.array(att_status),
                 }
             ),
             cfg.out_dir, "attempts", self.round_id,
@@ -737,20 +779,12 @@ class Crawler:
         tmr["attempts_write"] = time.perf_counter() - _t0
         _t0 = time.perf_counter()
         # ---- advisory link filter + stamps (driver, VECTORIZED) ---------
-        # slim rows for successes, in TICK order: meta's insertion order
-        # IS tick order (the walk above inserts at increasing tick and
-        # python dicts preserve insertion), so ONE index_in + take
-        # replaces the old python membership mask + sort — these driver
-        # loops were 2.7 s + 2.4 s of a 110k-tick mega-round (SCALING.md)
-        s_urls = list(meta)
-        n_s = len(s_urls)
-        t_np = np.fromiter((meta[u][0] for u in s_urls), np.int64, count=n_s)
-        fs_np = np.fromiter((meta[u][1] for u in s_urls), np.int64, count=n_s)
-        s_urls_arr = pa.array(s_urls, pa.string())
-        succ = slim.take(
-            pc.index_in(s_urls_arr,
-                        value_set=slim.column("url").combine_chunks())
-        )
+        # slim rows for successes, in TICK order (successes filtered from
+        # the admit-order walk above are already tick-ascending), so ONE
+        # index_in + take replaces the old python membership mask + sort
+        # — these driver loops were 2.7 s + 2.4 s of a 110k-tick
+        # mega-round (SCALING.md)
+        succ = slim.take(pc.index_in(s_urls_arr, value_set=slim_urls))
         cands = succ.column("fetch_candidates").combine_chunks()
         flat = pc.list_flatten(cands)
         parent = pc.list_parent_indices(cands).to_numpy(zero_copy_only=False)
@@ -841,24 +875,31 @@ class Crawler:
         tmr["links_push"] = time.perf_counter() - _t0
         _t0 = time.perf_counter()
         # ---- commit seen state ------------------------------------------
-        if round_success_urls:
-            shards = ids.shard_of(round_success_urls, cfg.num_seen_shards)
+        if n_s:
+            s_urls = s_urls_arr.to_pylist()
+            shards = ids.shard_of(s_urls, cfg.num_seen_shards)
             futs = []
             for s in range(cfg.num_seen_shards):
-                us = [u for u, sh in zip(round_success_urls, shards) if sh == s]
-                if us:
-                    futs.append(self.seen[s].add_many.remote(us))
+                idx = np.where(shards == s)[0]
+                if len(idx):
+                    futs.append(self.seen[s].add_many.remote(
+                        [s_urls[i] for i in idx]))
             ray.get(futs)
         tmr["seen_commit"] = time.perf_counter() - _t0
-        hosts = [ids.host_of(u) for u in round_success_urls]
-        per_host: dict[str, int] = {}
-        for h in hosts:
-            per_host[h] = per_host.get(h, 0) + 1
+        succ_hosts = (
+            admitted.column("host").combine_chunks()
+            .filter(keep_arr).filter(pa.array(succ_mask))
+        )
+        vc = pc.value_counts(succ_hosts)
+        per_host = dict(
+            zip(vc.field("values").to_pylist(),
+                (int(c) for c in vc.field("counts").to_pylist()))
+        )
         return {
             "round": self.round_id,
-            "admitted": len(admitted),
-            "attempts": len(round_attempts),
-            "successes": len(round_success_urls),
+            "admitted": admitted.num_rows,
+            "attempts": n_att,
+            "successes": n_s,
             "images": int(n_images),
             "new_links": int(n_new),
             "per_host_fetches": per_host,
@@ -950,7 +991,7 @@ class Crawler:
                 self._admit_parity() if cfg.mode == "parity" else self._admit_polite()
             )
             admit_sec = time.perf_counter() - _ta
-            if not admitted:
+            if not admitted.num_rows:
                 if cfg.mode == "polite" and sum(
                     ray.get([f.size.remote() for f in self.frontier])
                 ):
