@@ -3378,11 +3378,13 @@ def q_ngram_jaccard_verify(sf_dir: str):
     Scale shape (no whole-corpus driver materialization): the CANDIDATE
     doc-id set (small side — O(pairs), not O(corpus)) is broadcast once;
     the clone-union corpus streams through a map_batches that emits a
-    shingle-set row ONLY for candidate docs; those bounded rows feed an
-    actor-pool verify stage that builds its doc->shingles index once in
-    __init__ (per actor, from the ray.put handle) and scores each
-    candidate-pair batch against it. At 10^10 docs the corpus pass stays
-    a stream and everything driver-side is O(candidate pairs)."""
+    shingle-set row ONLY for candidate docs; those bounded rows are
+    dictionary-encoded ONCE into a CSR int-code index (sorted doc ids +
+    offsets + codes — three numpy arrays, broadcast via ray.put) and a
+    stateless task stage scores each candidate-pair batch against it
+    fully vectorized (np.intersect1d over combined (pair, code) keys).
+    At 10^10 docs the corpus pass stays a stream and everything
+    driver-side is O(candidate pairs)."""
     cand_tbl = q_minhash_lsh_pairs(sf_dir)  # pa.Table of candidate pairs
     if cand_tbl.num_rows == 0:
         return pa.table(
@@ -3445,49 +3447,76 @@ def q_ngram_jaccard_verify(sf_dir: str):
         )
         if t.num_rows > 0
     ]
-    sh_ref = ray.put(pa.concat_tables(sh_blocks))  # O(candidate docs) only
+    sh = pa.concat_tables(sh_blocks)  # O(candidate docs) only
 
-    n_blocks = max(2, cand_tbl.num_rows // 4096)
+    # dictionary-encode the shingle vocabulary ONCE (driver-side, over the
+    # bounded candidate-doc shingle table) so the verify stage ships three
+    # numpy arrays instead of per-doc Python string sets: sorted doc ids,
+    # CSR offsets, and int codes. |A∩B| then vectorizes per batch.
+    lists = sh.column("shingles")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    lengths = pc.list_value_length(lists).to_numpy().astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    enc = pc.dictionary_encode(pc.list_flatten(lists))
+    codes = enc.indices.to_numpy().astype(np.int64)
+    vocab = max(len(enc.dictionary), 1)
+    doc_ids = sh.column("doc_id").to_numpy()
+    order = np.argsort(doc_ids, kind="stable")
+    starts, lens = offsets[:-1][order], lengths[order]
+    tot = int(lens.sum())
+    gather = (np.arange(tot, dtype=np.int64)
+              - np.repeat(np.cumsum(lens) - lens, lens)
+              + np.repeat(starts, lens))
+    sh_ref = ray.put((doc_ids[order],
+                      np.concatenate([[0], np.cumsum(lens)]),
+                      codes[gather], vocab))
+
+    n_blocks = max(2, cand_tbl.num_rows // 16384)
     step = max(1, -(-cand_tbl.num_rows // n_blocks))
     slices = [cand_tbl.slice(i, step) for i in range(0, cand_tbl.num_rows, step)]
     cand = rd.from_arrow(slices)
 
-    class Verify:
-        """Stateful verify: the doc->shingle-set index is built ONCE per
-        actor from the broadcast table, not per batch."""
-
-        def __init__(self, handle):
-            t = ray.get(handle)
-            self.sets = {
-                did: frozenset(sl)
-                for did, sl in zip(t.column("doc_id").to_pylist(),
-                                   t.column("shingles").to_pylist())
+    def verify_batch(batch: pa.Table, _h=sh_ref) -> pa.Table:
+        """Stateless verify task: the CSR shingle-code index (three numpy
+        arrays) is a zero-copy ray.get per task — cheap enough that a
+        plain-task stage beats an actor pool's startup. Each pair batch
+        computes |A∩B| with a single np.intersect1d over combined
+        (pair, code) int64 keys — no Python loop over pairs, no per-doc
+        set objects."""
+        ids, offs, codes, vocab = ray.get(_h)
+        pa_ids = batch.column("doc_a").to_numpy()
+        pb_ids = batch.column("doc_b").to_numpy()
+        n = len(pa_ids)
+        keys = []
+        sizes = []
+        for side in (pa_ids, pb_ids):
+            pos = np.searchsorted(ids, side)
+            ln = offs[pos + 1] - offs[pos]
+            st = offs[pos]
+            tot = int(ln.sum())
+            gi = (np.arange(tot, dtype=np.int64)
+                  - np.repeat(np.cumsum(ln) - ln, ln)
+                  + np.repeat(st, ln))
+            pair_idx = np.repeat(np.arange(n, dtype=np.int64), ln)
+            keys.append(pair_idx * vocab + codes[gi])
+            sizes.append(ln)
+        # per-doc codes are distinct, so (pair, code) keys are unique
+        inter = np.intersect1d(keys[0], keys[1], assume_unique=True)
+        cnt = np.bincount(inter // vocab, minlength=n)
+        union = sizes[0] + sizes[1] - cnt
+        j = cnt / np.maximum(union, 1)
+        keep = j >= 0.5
+        return pa.table(
+            {
+                "doc_a": pa.array(pa_ids[keep], pa.int64()),
+                "doc_b": pa.array(pb_ids[keep], pa.int64()),
+                "jaccard": pa.array(
+                    _round_half_away(j[keep], 6), pa.float64()),
             }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keep_a, keep_b, jac = [], [], []
-            for a, b in zip(batch.column("doc_a").to_pylist(),
-                            batch.column("doc_b").to_pylist()):
-                sa, sb = self.sets[a], self.sets[b]
-                j = len(sa & sb) / max(len(sa | sb), 1)
-                if j >= 0.5:
-                    keep_a.append(a)
-                    keep_b.append(b)
-                    jac.append(float(_round_half_away(np.array([j]), 6)[0]))
-            return pa.table(
-                {
-                    "doc_a": pa.array(keep_a, pa.int64()),
-                    "doc_b": pa.array(keep_b, pa.int64()),
-                    "jaccard": pa.array(jac, pa.float64()),
-                }
-            )
-
-    return cand.map_batches(
-        Verify, fn_constructor_args=(sh_ref,), batch_format="pyarrow",
-        # pool sized to the candidate block count — more actors than
-        # blocks would just pay startup for idle workers
-        concurrency=(1, min(len(slices), _pool_size(frac=0.25)[1])),
-    )
+    return cand.map_batches(verify_batch, batch_format="pyarrow")
 
 
 QUERIES.update(
