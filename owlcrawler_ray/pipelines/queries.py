@@ -4729,7 +4729,7 @@ ORACLES["length_outliers"] = """
 # benchmark decontamination + repetition filter — corpus cleaning by n-gram
 # ---------------------------------------------------------------------------
 
-def _word_ngrams(texts, n: int):
+def _word_ngrams(texts, n: int, words=None):
     """Vectorized word n-grams over a batch's text column: split with the
     Arrow kernel, then assemble every n-gram with ONE
     binary_join_element_wise over n shifted views of the flattened word
@@ -4737,10 +4737,13 @@ def _word_ngrams(texts, n: int):
     row_pos[j] is the batch row that produced grams[j]. Rows with fewer
     than n words emit nothing; callers that need the minhash-parity
     "short doc -> one clipped shingle" rule handle those rows themselves
-    (they are O(1) per batch in practice)."""
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    words = pc.split_pattern(texts, " ")
+    (they are O(1) per batch in practice). Pass ``words`` (the
+    split_pattern list array) to reuse an existing tokenize pass —
+    ``texts`` is ignored then."""
+    if words is None:
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.split_pattern(texts, " ")
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
     offs = np.asarray(words.offsets, dtype=np.int64)
@@ -5906,10 +5909,11 @@ def q_bigram_pmi(sf_dir: str):
     signal tokenizer/vocab builders use. PMI = ln(p(ab)/(p(a)p(b))) with
     p(ab)=n_ab/N_bi and p(w)=n_w/N_uni.
 
-    Scale + bit-exactness shape: unigram and bigram counts are two
-    _bucket_merge count families (the unigram table broadcasts like
-    unigram_rarity's — CMS is the documented fallback for unbounded
-    vocabularies); candidates are RANKED BY THE RAW PROBABILITY RATIO,
+    Scale + bit-exactness shape: unigram and bigram counts come from ONE
+    fused tokenize pass + ONE _bucket_merge exchange (kind-tagged rows;
+    the unigram table broadcasts like unigram_rarity's — CMS is the
+    documented fallback for unbounded vocabularies); candidates are
+    RANKED BY THE RAW PROBABILITY RATIO,
     which orders identically to PMI (ln is monotonic) while staying in
     pure correctly-rounded double arithmetic — ln() runs only on the
     <=K survivors, via math.log (the libm call DuckDB's ln() makes), so
@@ -5919,39 +5923,67 @@ def q_bigram_pmi(sf_dir: str):
 
     src = _read(sf_dir, "documents", columns=["text"])
 
-    def uni_partial(batch: pa.Table) -> pa.Table:
-        words = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
-        return (
-            pa.table({"w": words}).group_by("w")
-            .aggregate([([], "count_all")]).rename_columns(["w", "n_p"])
-        )
+    def both_partial(batch: pa.Table) -> pa.Table:
+        """ONE tokenize pass emits BOTH count partials (kind 'u' =
+        unigram, 'b' = bigram): the corpus is read and split once, and
+        the two count families share one _bucket_merge exchange."""
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.split_pattern(texts, " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offs = np.asarray(words.offsets, dtype=np.int64)
+        flat = words.values.slice(offs[0], offs[-1] - offs[0])
 
-    def bi_partial(batch: pa.Table) -> pa.Table:
-        _pos, grams, _counts = _word_ngrams(batch.column("text"), 2)
-        if not len(grams):
-            return pa.table({"g": pa.array([], pa.string()),
-                             "n_p": pa.array([], pa.int64())})
-        return (
-            pa.table({"g": grams}).group_by("g")
-            .aggregate([([], "count_all")]).rename_columns(["g", "n_p"])
-        )
+        def count(arr, kind):
+            t = (pa.table({"k": arr}).group_by("k")
+                 .aggregate([([], "count_all")]).rename_columns(["k", "n_p"]))
+            return t.append_column(
+                "kind", pa.array([kind] * t.num_rows, pa.string()))
+
+        parts = [count(flat, "u")]
+        _pos, grams, _counts = _word_ngrams(None, 2, words=words)
+        if len(grams):
+            parts.append(count(grams, "b"))
+        return pa.concat_tables(parts)
 
     wide = _widen(src, _p(sf_dir, "documents"))
-    uni = _bucket_merge(
-        wide.map_batches(uni_partial, batch_format="pyarrow",
+    # route on the string key (keys[0]); kind disambiguates in the merge
+    # group_by (unigrams and bigrams cannot collide anyway — a bigram
+    # always contains a space). Materialized: consumed three times below,
+    # all O(vocabulary)-sized.
+    counts = _bucket_merge(
+        wide.map_batches(both_partial, batch_format="pyarrow",
                          zero_copy_batch=True),
-        keys=["w"], aggs=[("n_p", "sum")], out=["n"],
-    ).to_pandas().sort_values("w")  # O(vocabulary), not O(rows)
-    n_uni = int(uni["n"].sum())
-    uwords = pa.array(uni["w"].to_numpy(), pa.string())
-    ucounts = uni["n"].to_numpy().astype(np.int64)
+        keys=["k", "kind"], aggs=[("n_p", "sum")], out=["n"],
+    ).materialize()
+
+    def pick(kind, names):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:  # map_groups emits schema-less empties
+                return t
+            return (t.filter(pc.equal(t.column("kind"), kind))
+                    .drop_columns(["kind"]).rename_columns(names))
+        return f
+
+    uni_blocks = [
+        t for t in ray.get(
+            counts.map_batches(pick("u", ["w", "n"]),
+                               batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows
+    ]
+    if not uni_blocks:
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "n_ab": pa.array([], pa.int64()),
+                         "pmi": pa.array([], pa.float64())})
+    uni = pa.concat_tables(uni_blocks)  # O(vocabulary), not O(rows)
+    uwords = uni.column("w").combine_chunks()
+    ucounts = uni.column("n").to_numpy().astype(np.int64)
+    n_uni = int(ucounts.sum())
     uref = ray.put((uwords, ucounts))
 
-    bi = _bucket_merge(
-        wide.map_batches(bi_partial, batch_format="pyarrow",
-                         zero_copy_batch=True),
-        keys=["g"], aggs=[("n_p", "sum")], out=["n_ab"],
-    )
+    bi = counts.map_batches(pick("b", ["g", "n_ab"]), batch_format="pyarrow")
     # N_bi = total bigram instances = sum over the count table (tiny
     # extra pass over O(vocab) rows, no extra corpus read)
     n_bi = sum(
