@@ -64,9 +64,20 @@ class ParquetWriter:
         # keeps the default hive partitioning — the explicit column list
         # already excludes any path-grafted column, so the output schema
         # is identical either way.
+        # override_num_blocks=len(files): one read task per part. Parts
+        # are budget-bounded round slices, so per-file tasks are already
+        # the right block granularity, and it stops Ray from splitting a
+        # small part into more tasks than row groups — the surplus tasks
+        # emit 0-row SCHEMA-LESS blocks that downstream map stages
+        # propagate, tripping the executor's schema-divergence warning on
+        # every union and wasting scheduling slots.
         if columns is None:
-            return rd.read_parquet(files, partitioning=None)
-        return rd.read_parquet(files, columns=columns)
+            return rd.read_parquet(
+                files, partitioning=None, override_num_blocks=len(files)
+            )
+        return rd.read_parquet(
+            files, columns=columns, override_num_blocks=len(files)
+        )
 
 
 class LanceWriter:

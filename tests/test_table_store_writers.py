@@ -112,3 +112,31 @@ def test_format_marker_legacy_ok_sniffs_extension(tmp_path, monkeypatch):
     monkeypatch.setattr(ts, "WRITER", ts.WRITERS["lance"])
     assert ts.round_writer(root, "pages", 0).name == "parquet"
     assert ts.read_all_arrow(root, "pages").num_rows == 2
+
+
+def test_parquet_read_one_block_per_part_no_schemaless_empties(
+        ray_session, tmp_path):
+    """Regression: Ray 2.49 splits a small parquet part into more read
+    tasks than it has row groups; the surplus tasks emit 0-row
+    SCHEMA-LESS blocks, which map stages propagate and every union then
+    logs the executor's schema-divergence warning. The store reads with
+    override_num_blocks=len(files) — one task per budget-bounded part —
+    so every materialized block must carry rows AND the full schema."""
+    import ray
+
+    root = str(tmp_path / "blkstore")
+    t = _sample_table(12)
+    # several tiny parts across two rounds, like a low-budget crawl
+    tmp = ts.begin_round(root, "images", 0)
+    for i in range(3):
+        ts.write_part(tmp, t.slice(i * 2, 2), key=f"p{i}")
+    ts.commit_round(root, "images", 0)
+    ts.write_round(t.slice(6, 6), root, "images", 1)
+    ds = ts.read_all(root, "images").map_batches(
+        lambda b: b, batch_format="pyarrow", zero_copy_batch=True
+    )
+    blocks = ray.get(ds.to_arrow_refs())
+    assert sum(b.num_rows for b in blocks) == 12
+    for b in blocks:
+        assert b.num_rows > 0
+        assert set(b.schema.names) == set(t.schema.names)
