@@ -3492,6 +3492,13 @@ def q_ngram_jaccard_verify(sf_dir: str):
         sizes = []
         for side in (pa_ids, pb_ids):
             pos = np.searchsorted(ids, side)
+            # hard-fail on a pair doc with no shingle row (the dict form
+            # this replaced KeyError'd loudly; a silent searchsorted
+            # mis-bind would score against a NEIGHBOR doc's shingles)
+            if (pos >= len(ids)).any() or (ids[pos] != side).any():
+                raise ValueError(
+                    "candidate pair references a doc with no shingle row"
+                )
             ln = offs[pos + 1] - offs[pos]
             st = offs[pos]
             tot = int(ln.sum())
