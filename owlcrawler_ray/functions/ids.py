@@ -79,11 +79,17 @@ def host_of_many(urls) -> list[str]:
     )
     # NB: .field() ignores STRUCT-level nulls (non-matches read as ""),
     # so validity must come from the struct array itself
-    valid = pc.is_valid(st).to_pylist()
-    out = st.field("host").to_pylist()
-    for i, h in enumerate(out):
-        if not valid[i] or "[" in h or "]" in h:
-            out[i] = host_of(arr[i].as_py())
+    hosts = st.field("host")
+    bad = pc.or_(
+        pc.invert(pc.is_valid(st)),
+        pc.match_substring_regex(pc.fill_null(hosts, ""), r"[\[\]]"),
+    )
+    out = hosts.to_pylist()
+    if pc.any(bad).as_py():  # rare: python fixups only where flagged
+        import numpy as np
+
+        for i in np.nonzero(bad.to_numpy(zero_copy_only=False))[0]:
+            out[i] = host_of(arr[int(i)].as_py())
     return out
 
 
