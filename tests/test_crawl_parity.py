@@ -426,3 +426,55 @@ def test_add_sites_after_frontier_drained_parity(ray_session, tmp_path):
         assert all(u in want.seen for u in new_sites)
     finally:
         c.shutdown()
+
+
+def test_admit_parity_widen_path_skips_seen_prefix(ray_session, tmp_path):
+    """The vectorized _admit_parity's widen-retry branch (W *= 2): when
+    the whole first peek window is already-seen entries, the admit must
+    widen, discard the seen prefix tick-free (consuming their seqs from
+    the frontier) and return the first-K UNSEEN entries in global
+    (priority, seq) order — the reference dequeue loop's behavior when
+    the queue head is full of duplicates."""
+    import ray
+
+    from owlcrawler_ray.functions import ids
+    from owlcrawler_ray.pipelines.crawl import CrawlConfig, Crawler
+
+    cfg = CrawlConfig(
+        web=SMALL_WEB,
+        budget_per_round=2,  # K=2 -> first peek window is W=2 per shard
+        out_dir=f"{tmp_path}/out",
+        ckpt_dir=f"{tmp_path}/ckpt",
+        fetch_concurrency=1,
+        image_concurrency=1,
+    )
+    c = Crawler(cfg)
+    try:
+        # 12 already-seen urls at priority -1.0: they sort ahead of every
+        # seed (priority 0.0), so the K=2 peek sees ONLY seen entries
+        dup_urls = [f"http://dup{i}.example.com/" for i in range(12)]
+        shards = ids.shard_of(dup_urls, cfg.num_seen_shards)
+        futs = []
+        for s in range(cfg.num_seen_shards):
+            us = [u for u, sh in zip(dup_urls, shards) if sh == s]
+            if us:
+                futs.append(c.seen[s].test_and_set_many.remote(us))
+        ray.get(futs)
+        c._push_frontier(
+            dup_urls, [1] * 12, [-1.0] * 12,
+            list(range(1000, 1012)),
+        )
+        before = sum(ray.get([f.size.remote() for f in c.frontier]))
+        admitted = c._admit_parity()
+        # first-K unseen = the first two SEEDS by (priority, seq)
+        seeds = c.web.seeds()
+        assert admitted.column("url").to_pylist() == seeds[:2]
+        assert admitted.num_rows == 2
+        # every seen entry scanned on the way was consumed from the
+        # frontier alongside the two admitted seeds, none re-admittable
+        after = sum(ray.get([f.size.remote() for f in c.frontier]))
+        assert after == before - 12 - 2
+        again = c._admit_parity()
+        assert again.column("url").to_pylist() == seeds[2:4]
+    finally:
+        c.shutdown()
