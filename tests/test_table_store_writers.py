@@ -140,3 +140,23 @@ def test_parquet_read_one_block_per_part_no_schemaless_empties(
     for b in blocks:
         assert b.num_rows > 0
         assert set(b.schema.names) == set(t.schema.names)
+
+
+def test_parquet_read_pruned_columns_through_block_rule(ray_session,
+                                                        tmp_path):
+    """The pruned (columns=...) branch of ParquetWriter.dataset shares
+    the cpu-knee block rule but must keep the Ray-2.49 workaround of NOT
+    passing partitioning=None (UnboundLocalError) — cover it end to end:
+    pruned schema, right rows, no schema-less blocks."""
+    import ray
+
+    root = str(tmp_path / "prunestore")
+    t = _sample_table(30)
+    ts.write_round(t, root, "images", 0)
+    ts.write_round(t.slice(0, 10), root, "images", 1)
+    ds = ts.read_all(root, "images", columns=["image_id", "phash"])
+    blocks = ray.get(ds.to_arrow_refs())
+    assert sum(b.num_rows for b in blocks) == 40
+    for b in blocks:
+        assert b.num_rows > 0
+        assert b.schema.names == ["image_id", "phash"]
