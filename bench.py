@@ -250,31 +250,63 @@ def _crawl_leg(ncpu: int) -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
+def leg_policy(secs: list[float], ncpu: int, extra_elapsed: float) -> str:
+    """Decide what to do after each headline-crawl leg: 'stop' (window is
+    quiet and the minimum is trustworthy), 'retry' (take another leg now),
+    or 'wait' (sleep first — the window is noisy, and on this VM noise
+    windows shift on minute scales, so a SPACED leg is far more likely to
+    catch a dip than a back-to-back one; BENCH_r04 recorded a 21.6 s
+    "quiet" capture of 13.4 s-capable code because its four legs all fell
+    inside one noisy window).
+
+    Pure function of (leg seconds so far, cpu width, extra wall-clock
+    already spent beyond the first two legs) so the policy is unit-testable
+    without running crawls. Budget: at most EXTRA_BUDGET_S beyond the
+    mandatory two legs, so the bench stays bounded for the round driver."""
+    EXTRA_BUDGET_S = 420.0
+    quiet_band = 20.0 * (32.0 / max(ncpu, 1))
+    srt = sorted(secs)
+    # the recorded artifact is min-of-legs, so the minimum is trustworthy
+    # once the two SMALLEST legs agree within 1.25x inside the quiet band
+    # (spread over ALL legs would never recover from noisy early legs and
+    # would burn the budget re-confirming an already-confirmed dip)
+    if srt[0] <= quiet_band and srt[1] / max(srt[0], 1e-9) <= 1.25:
+        return "stop"
+    if extra_elapsed >= EXTRA_BUDGET_S:
+        return "stop"
+    # every leg above the band = a noisy plateau: waiting beats
+    # re-measuring the same window; a lone unconfirmed dip = the window
+    # is already moving, measure again immediately to confirm it
+    return "wait" if srt[0] > quiet_band else "retry"
+
+
 def run_default() -> dict:
-    """Default bench: headline crawl = min of TWO fresh subprocess legs;
-    query suite = per-query min of TWO in-process passes. Raw legs are
-    kept in the JSON (crawl_legs / queries_runs)."""
+    """Default bench: headline crawl = min of TWO fresh subprocess legs
+    (+ adaptive spaced legs while the window is noisy, bounded by
+    leg_policy's budget); query suite = per-query min of TWO in-process
+    passes. Raw legs are kept in the JSON (crawl_legs / queries_runs)."""
     import ray
 
     legs = [_crawl_leg(NCPU), _crawl_leg(NCPU)]
-    # adaptive third/fourth leg: identical-code legs have measured 74 vs
-    # 28 s on this VM under neighbor load (STATS.md r3), and the recorded
-    # artifact is min-of-legs — when the first two disagree by >1.25x or
-    # both sit above the quiet-window band (~20 s at 32 cpus; scaled by
-    # width), the window is suspect and one or two more legs buy a far
-    # more representative minimum for ~40 s each
-    quiet_band = 20.0 * (32.0 / max(NCPU, 1))
-    for _ in range(2):
-        secs = sorted(l["crawl"]["sec"] for l in legs)
-        if secs[-1] / max(secs[0], 1e-9) <= 1.25 and secs[0] <= quiet_band:
+    t_extra = time.perf_counter()
+    while True:
+        act = leg_policy([l["crawl"]["sec"] for l in legs], NCPU,
+                         time.perf_counter() - t_extra)
+        if act == "stop":
             break
+        if act == "wait":
+            time.sleep(45.0)
         legs.append(_crawl_leg(NCPU))
     best = min(legs, key=lambda r: r["crawl"]["sec"])
     # machine-state flag: record the leg spread so a future reader can
-    # tell session noise from a code regression
+    # tell session noise from a code regression. "quiet" requires BOTH a
+    # tight spread AND a minimum inside the quiet band — a stable-slow
+    # plateau (e.g. BENCH_r04's 21.6 s capture, spread 1.042) is a noisy
+    # session that happens to be flat, not a quiet one
     secs = sorted(l["crawl"]["sec"] for l in legs)
     leg_spread = round(secs[-1] / max(secs[0], 1e-9), 3)
-    session = "noisy" if leg_spread > 1.25 else "quiet"
+    session = ("quiet" if leg_spread <= 1.25
+               and secs[0] <= 20.0 * (32.0 / max(NCPU, 1)) else "noisy")
 
     _init_ray()
     _warm_page_cache()

@@ -1,0 +1,117 @@
+"""Unit tests for bench.py's adaptive headline-leg policy.
+
+The policy decides, after each crawl leg, whether the recorded
+min-of-legs is trustworthy ('stop'), needs another immediate leg
+('retry' — the window is visibly moving), or should wait out a noisy
+plateau ('wait'). It is a pure function so these tests pin the exact
+behavior the round driver's BENCH capture depends on — no crawls run.
+"""
+
+from bench import leg_policy
+
+
+QUIET = 20.0  # quiet band at 32 cpus (20.0 * 32/32)
+
+
+def test_quiet_tight_legs_stop_immediately():
+    assert leg_policy([13.1, 13.8], 32, 0.0) == "stop"
+
+
+def test_band_scales_with_cpu_width():
+    # 2-cpu quiet band is 20 * 32/2 = 320 s: a 130 s leg pair is quiet
+    assert leg_policy([128.0, 131.0], 2, 0.0) == "stop"
+    # the same seconds at 32 cpus are a noisy plateau
+    assert leg_policy([128.0, 131.0], 32, 0.0) == "wait"
+
+
+def test_slow_plateau_waits_rather_than_remeasures():
+    # tight spread but both legs above the quiet band: the window is a
+    # stable noisy plateau — sleep before the next leg
+    assert leg_policy([30.2, 31.0], 32, 0.0) == "wait"
+
+
+def test_wide_spread_with_quiet_min_retries_now():
+    # min is inside the band but the legs disagree 1.25x+: the window is
+    # moving, take another leg immediately to confirm the dip
+    assert leg_policy([14.0, 29.0], 32, 0.0) == "retry"
+
+
+def test_budget_exhaustion_stops_even_when_noisy():
+    assert leg_policy([30.2, 31.0, 29.5], 32, 420.0) == "stop"
+    assert leg_policy([14.0, 29.0], 32, 1e9) == "stop"
+
+
+def test_unconfirmed_dip_retries_then_confirmed_dip_stops():
+    # a spaced leg caught a dip: one more immediate leg to confirm it...
+    assert leg_policy([30.0, 31.0, 13.5], 32, 100.0) == "retry"
+    # ...and once the two smallest legs agree inside the band, the
+    # min-of-legs is trustworthy — noisy early legs must NOT keep the
+    # policy retrying (spread is judged on the two smallest, not max/min)
+    assert leg_policy([30.0, 31.0, 13.5, 13.9], 32, 200.0) == "stop"
+
+
+def test_policy_is_order_insensitive():
+    assert leg_policy([29.0, 14.0], 32, 0.0) == leg_policy(
+        [14.0, 29.0], 32, 0.0)
+
+
+def _run_default_with_legs(monkeypatch, secs_seq, tick_per_leg=0.0):
+    """Drive bench.run_default with stubbed crawl legs / queries / Ray —
+    returns (json_out, legs_taken, sleeps). tick_per_leg advances a fake
+    perf_counter so the budget bound is testable without real minutes."""
+    import time as _time
+
+    import ray
+
+    import bench
+
+    calls = {"legs": 0, "sleeps": []}
+    it = iter(secs_seq)
+    clock = [0.0]
+
+    def _leg(ncpu):
+        calls["legs"] += 1
+        clock[0] += tick_per_leg
+        s = next(it)
+        return {"crawl": {
+            "sec": s, "fetched_urls": 100, "attempt_ticks": 110,
+            "image_rows": 150, "urls_per_s": round(100 / s, 2),
+            "image_rows_per_s": round(150 / s, 2), "seen_spill": False}}
+
+    monkeypatch.setattr(bench, "_crawl_leg", _leg)
+    monkeypatch.setattr(bench, "_init_ray", lambda: None)
+    monkeypatch.setattr(bench, "_warm_page_cache", lambda: None)
+    monkeypatch.setattr(
+        bench, "_time_queries", lambda: {n: 0.1 for n in bench.BENCH_QUERIES})
+    monkeypatch.setattr(ray, "shutdown", lambda: None)
+    monkeypatch.setattr(_time, "sleep", lambda s: calls["sleeps"].append(s))
+    if tick_per_leg:
+        monkeypatch.setattr(_time, "perf_counter", lambda: clock[0])
+    out = bench.run_default()
+    return out, calls["legs"], calls["sleeps"]
+
+
+def test_run_default_quiet_window_takes_two_legs(monkeypatch):
+    out, legs, sleeps = _run_default_with_legs(monkeypatch, [13.5, 14.0])
+    assert legs == 2 and not sleeps
+    assert out["value"] == 13.5 and out["session"] == "quiet"
+    assert len(out["crawl_legs"]) == 2
+
+
+def test_run_default_waits_out_noise_and_confirms_dip(monkeypatch):
+    out, legs, sleeps = _run_default_with_legs(
+        monkeypatch, [30.0, 31.0, 14.2, 13.8])
+    assert legs == 4 and sleeps and sleeps[0] == 45.0
+    # min-of-legs caught the dip; the wide spread honestly flags the
+    # session noisy even though the recorded minimum is representative
+    assert out["value"] == 13.8 and out["session"] == "noisy"
+    assert out["leg_spread"] > 2
+
+
+def test_run_default_stable_slow_plateau_is_flagged_noisy(monkeypatch):
+    # the BENCH_r04 failure mode: every leg slow but tight-spread — the
+    # session flag must NOT read "quiet" just because the legs agree
+    out, legs, sleeps = _run_default_with_legs(
+        monkeypatch, [30.0] * 50, tick_per_leg=60.0)
+    assert out["value"] == 30.0 and out["session"] == "noisy"
+    assert legs <= 11  # bounded by leg_policy's 420 s extra budget
