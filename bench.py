@@ -332,21 +332,6 @@ def run_default() -> dict:
 
 
 def run_scaling() -> dict:
-    raw_legs: dict = {}
-
-    def sub(ncpu: int) -> dict:
-        # best-of-2 (+1 adaptive): the sandbox VM has noisy neighbors
-        # (observed 49s vs 83s for identical runs); min-of-repeats
-        # measures the engine, and a third leg is taken when the first
-        # two disagree by >1.25x so one depressed leg cannot skew the
-        # recorded efficiency ratio
-        legs = [_crawl_leg(ncpu), _crawl_leg(ncpu)]
-        secs = sorted(l["crawl"]["sec"] for l in legs)
-        if secs[-1] > 1.25 * secs[0]:
-            legs.append(_crawl_leg(ncpu))
-        raw_legs[ncpu] = sorted(l["crawl"]["sec"] for l in legs)
-        return min(legs, key=lambda r: r["crawl"]["sec"])
-
     # N=2 vs 4N=8: both legs sit well inside the PHYSICAL core budget. The
     # box advertises 32 logical cpus, but measured ceilings for this
     # memory-/IO-heavy workload under plain multiprocessing are ~0.75 for
@@ -354,7 +339,32 @@ def run_scaling() -> dict:
     # that include 16+ workers measure the machine, not the engine. 2->8
     # has a ~1.0 hardware ceiling, so the 4x ratio is honest.
     n_lo, n_hi = 2, 8
-    lo, hi = sub(n_lo), sub(n_hi)
+
+    # INTERLEAVED lo/hi rounds (the STATS.md A/B methodology): the ratio
+    # needs both widths measured in the SAME window, and sequential
+    # lo,lo,hi,hi legs straddle window shifts (identical-code legs have
+    # measured 1.5-1.9x apart across minutes on this VM). Alternating
+    # widths makes each round sample one window; min-of-legs per width
+    # then compares like with like. A third round is added when either
+    # width's legs disagree >1.25x, for BOTH widths so the extra window
+    # is sampled symmetrically.
+    results: dict[int, list] = {n_lo: [], n_hi: []}
+    for _ in range(2):
+        for n in (n_lo, n_hi):
+            results[n].append(_crawl_leg(n))
+
+    def _spread(n: int) -> float:
+        secs = sorted(l["crawl"]["sec"] for l in results[n])
+        return secs[-1] / max(secs[0], 1e-9)
+
+    if _spread(n_lo) > 1.25 or _spread(n_hi) > 1.25:
+        for n in (n_lo, n_hi):
+            results[n].append(_crawl_leg(n))
+
+    raw_legs = {n: sorted(l["crawl"]["sec"] for l in results[n])
+                for n in (n_lo, n_hi)}
+    lo = min(results[n_lo], key=lambda r: r["crawl"]["sec"])
+    hi = min(results[n_hi], key=lambda r: r["crawl"]["sec"])
     thr_lo = lo["crawl"]["urls_per_s"]
     thr_hi = hi["crawl"]["urls_per_s"]
     img_lo = lo["crawl"]["image_rows_per_s"]

@@ -108,6 +108,59 @@ def test_run_default_waits_out_noise_and_confirms_dip(monkeypatch):
     assert out["leg_spread"] > 2
 
 
+def _run_scaling_with_legs(monkeypatch, secs_by_call):
+    """Drive bench.run_scaling with stubbed legs. secs_by_call is consumed
+    in call order; the ncpu of every call is recorded so the interleaving
+    contract is assertable."""
+    import bench
+
+    order = []
+    it = iter(secs_by_call)
+
+    def _leg(ncpu):
+        order.append(ncpu)
+        s = next(it)
+        return {"crawl": {
+            "sec": s, "fetched_urls": 100, "attempt_ticks": 110,
+            "image_rows": 150, "urls_per_s": round(100 / s, 2),
+            "image_rows_per_s": round(150 / s, 2), "seen_spill": False}}
+
+    monkeypatch.setattr(bench, "_crawl_leg", _leg)
+    return bench.run_scaling(), order
+
+
+def test_run_scaling_interleaves_widths(monkeypatch):
+    # quiet legs: two lo/hi rounds, alternating — never lo,lo,hi,hi
+    out, order = _run_scaling_with_legs(
+        monkeypatch, [100.0, 26.0, 102.0, 25.0])
+    assert order == [2, 8, 2, 8]
+    assert out["sec_lo"] == 100.0 and out["sec_hi"] == 25.0
+    # efficiency = (100/25 urls-per-s ratio) / 4 = (4/1)/4 = 1.0
+    assert out["scaling_efficiency"] == 1.0
+    assert out["session"] == "quiet"
+
+
+def test_run_scaling_noisy_round_adds_a_leg_to_both_widths(monkeypatch):
+    # lo legs disagree 1.3x -> one more INTERLEAVED round (both widths)
+    out, order = _run_scaling_with_legs(
+        monkeypatch, [130.0, 26.0, 100.0, 25.0, 101.0, 25.5])
+    assert order == [2, 8, 2, 8, 2, 8]
+    assert out["sec_lo"] == 100.0 and out["sec_hi"] == 25.0
+    # the extra round CONFIRMED both minima (two smallest legs per width
+    # agree), so the recorded ratio is trustworthy: flagged quiet — the
+    # raw legs still carry the 130 s outlier for the honest history
+    assert out["session"] == "quiet"
+    assert out["legs_lo"] == [100.0, 101.0, 130.0]
+
+
+def test_run_scaling_unconfirmed_minimum_is_flagged_noisy(monkeypatch):
+    out, order = _run_scaling_with_legs(
+        monkeypatch, [130.0, 26.0, 100.0, 25.0, 131.0, 25.5])
+    assert order == [2, 8, 2, 8, 2, 8]
+    # lo minimum 100 s was never reproduced within 1.25x: noisy
+    assert out["session"] == "noisy"
+
+
 def test_run_default_stable_slow_plateau_is_flagged_noisy(monkeypatch):
     # the BENCH_r04 failure mode: every leg slow but tight-spread — the
     # session flag must NOT read "quiet" just because the legs agree
