@@ -36,25 +36,49 @@ _FMT_SHIFT = {"png": 0, "jpeg": 2, "webp": 1}
 LOSSY_FMTS = ("jpeg", "webp")
 
 
+_SYNTH_CACHE: dict = {}
+
+
+def _synth_shape_arrays(w: int, h: int) -> tuple[np.ndarray, np.ndarray]:
+    """(base gradient (h,w,3) float64, (xx+yy)[...,None] (h,w,1) float64)
+    for a shape — id-independent, so cached per (w,h). The corpus draws
+    from a handful of dims; the cache is a few MB at most. Arrays are
+    returned read-only so a caller bug can't corrupt later images."""
+    key = (w, h)
+    hit = _SYNTH_CACHE.get(key)
+    if hit is None:
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        base = np.stack(
+            [
+                (xx / max(w - 1, 1)) * 255.0,
+                (yy / max(h - 1, 1)) * 255.0,
+                ((xx + yy) / max(w + h - 2, 1)) * 255.0,
+            ],
+            axis=-1,
+        )
+        xy = (xx + yy)[..., None]
+        base.setflags(write=False)
+        xy.setflags(write=False)
+        if len(_SYNTH_CACHE) > 64:  # bound per-process memory; the
+            _SYNTH_CACHE.clear()    # corpus only ever uses ~4 shapes
+        hit = _SYNTH_CACHE[key] = (base, xy)
+    return hit
+
+
 def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
     """Deterministic (h, w, 3) uint8 image for an id: smooth per-channel
-    gradient + seeded noise. Same id -> same pixels, forever."""
+    gradient + seeded noise. Same id -> same pixels, forever (the
+    shape-array cache changes nothing byte-wise: identical expressions,
+    dtypes and op order as the uncached form — pinned by
+    test_synth_pixels_bit_identical_to_uncached)."""
     seed = int.from_bytes(
         hashlib.blake2b(image_id.encode(), digest_size=8).digest(), "little"
     )
     rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-    base = np.stack(
-        [
-            (xx / max(w - 1, 1)) * 255.0,
-            (yy / max(h - 1, 1)) * 255.0,
-            ((xx + yy) / max(w + h - 2, 1)) * 255.0,
-        ],
-        axis=-1,
-    )
+    base, xy = _synth_shape_arrays(w, h)
     phase = rng.uniform(0, 2 * np.pi, size=3)
     freq = rng.uniform(0.05, 0.3, size=3)
-    wave = 40.0 * np.sin(freq * (xx + yy)[..., None] + phase)
+    wave = 40.0 * np.sin(freq * xy + phase)
     noise = rng.normal(0, 12.0, size=(h, w, 3))
     return np.clip(base + wave + noise, 0, 255).astype(np.uint8)
 
@@ -140,19 +164,26 @@ def _resize_gray(gray: np.ndarray, size: int = 32) -> np.ndarray:
 
 def phash64(pixels: np.ndarray) -> int:
     """64-bit DCT perceptual hash -> SIGNED int64 (bit 63 folded into the
-    sign, per FIXTURES.md §1) so it fits the input_hint's phash:int64."""
-    gray = pixels.astype(np.float64).mean(axis=2)
-    small = _resize_gray(gray, 32)
+    sign, per FIXTURES.md §1) so it fits the input_hint's phash:int64.
+
+    Bit-identical fast path vs the original gray-then-resize form: the
+    resize is a pure row/col gather, and per-pixel channel means commute
+    with gathering, so sampling the 32x32 grid FIRST converts 1k pixels
+    to float64 instead of the whole image; the MSB-first bit pack is
+    np.packbits + int.from_bytes(big) instead of a 64-step shift loop
+    (pinned by test_phash_matches_reference_form)."""
+    h, w = pixels.shape[:2]
+    ys = np.minimum((np.arange(32) * h // 32), h - 1)
+    xs = np.minimum((np.arange(32) * w // 32), w - 1)
+    small = pixels[np.ix_(ys, xs)].astype(np.float64).mean(axis=2)
     d = _dct_matrix(32)
     coef = d @ small @ d.T
-    block = coef[:8, :8].copy()
-    flat = block.flatten()
+    flat = coef[:8, :8].flatten()
     med = np.median(flat[1:])  # exclude DC term from the median
-    bits = (flat > med).astype(np.uint64)
-    val = np.uint64(0)
-    for i in range(64):
-        val = (val << np.uint64(1)) | bits[i]
-    return int(np.int64(val))
+    bits = (flat > med).astype(np.uint8)
+    return int(np.int64(np.uint64(
+        int.from_bytes(np.packbits(bits).tobytes(), "big")
+    )))
 
 
 def hamming64(a: int, b: int) -> int:

@@ -88,6 +88,13 @@ BENCH_WEB = WebConfig(num_hosts=40, base_pages=120, hot_factor=8, n_seed_hosts=8
 class SyntheticWeb:
     def __init__(self, cfg: WebConfig = TEST_WEB):
         self.cfg = cfg
+        # per-page image-metadata memo for the image_bytes hot path: the
+        # fetch stage resolves each image url independently, and without
+        # the memo every call re-derives ALL metas of its page (blake2b
+        # doc ids + title rng). images_on is a pure function of
+        # (cfg, hi, pi), so memoizing is bit-identical; bounded so a
+        # long-lived actor over a 10^10-url web can't grow it unbounded.
+        self._img_meta_memo: dict[tuple[int, int], list[dict]] = {}
 
     # ---- identity ----------------------------------------------------
     def host(self, i: int) -> str:
@@ -158,7 +165,12 @@ class SyntheticWeb:
             raise KeyError(image_url)
         host, pi, k, fmt = m.group(1), int(m.group(2)), int(m.group(3)), m.group(4)
         hi = int(host.split("-")[1].split(".")[0])
-        for meta in self.images_on(hi, pi):
+        metas = self._img_meta_memo.get((hi, pi))
+        if metas is None:
+            if len(self._img_meta_memo) > 4096:
+                self._img_meta_memo.clear()
+            metas = self._img_meta_memo[(hi, pi)] = self.images_on(hi, pi)
+        for meta in metas:
             if meta["image_url"] == image_url:
                 pix = codec.synth_pixels(meta["image_id"], meta["w"], meta["h"])
                 return codec.encode(pix, fmt)

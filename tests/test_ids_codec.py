@@ -155,3 +155,88 @@ def test_host_of_many_matches_scalar_host_of():
         for _ in range(2000)
     ]
     assert host_of_many(fuzz) == [host_of(u) for u in fuzz]
+
+
+def test_synth_pixels_bit_identical_to_uncached():
+    """The shape-array cache in synth_pixels must not change a single
+    byte of any image, ever — crawl parity, phash goldens and the PSNR
+    invariant all pin pixel content. Differential vs an inline
+    re-implementation of the original uncached form."""
+    import hashlib
+
+    import numpy as np
+
+    def uncached(image_id, w, h):
+        seed = int.from_bytes(
+            hashlib.blake2b(image_id.encode(), digest_size=8).digest(),
+            "little")
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        base = np.stack(
+            [(xx / max(w - 1, 1)) * 255.0,
+             (yy / max(h - 1, 1)) * 255.0,
+             ((xx + yy) / max(w + h - 2, 1)) * 255.0], axis=-1)
+        phase = rng.uniform(0, 2 * np.pi, size=3)
+        freq = rng.uniform(0.05, 0.3, size=3)
+        wave = 40.0 * np.sin(freq * (xx + yy)[..., None] + phase)
+        noise = rng.normal(0, 12.0, size=(h, w, 3))
+        return np.clip(base + wave + noise, 0, 255).astype(np.uint8)
+
+    for i, (w, h) in enumerate(
+            [(32, 32), (48, 32), (64, 48), (96, 64), (192, 128), (1, 1),
+             (7, 3)] * 4):
+        a = codec.synth_pixels(f"bit-{i}", w, h)
+        assert np.array_equal(a, uncached(f"bit-{i}", w, h)), (i, w, h)
+    # cached base arrays are read-only: a caller mutating its output
+    # cannot poison later images
+    out = codec.synth_pixels("ro-check", 48, 32)
+    out[:] = 0  # output is a fresh array, mutation must be safe
+    assert np.array_equal(
+        codec.synth_pixels("ro-check", 48, 32), uncached("ro-check", 48, 32))
+
+
+def test_phash_matches_reference_form():
+    """phash64's gather-first + packbits fast path vs the original
+    gray-then-resize + 64-step shift loop, over random and synthesized
+    images of many shapes (incl. degenerate 1x1 and sub-32 sizes)."""
+    import numpy as np
+
+    def reference(pixels):
+        gray = pixels.astype(np.float64).mean(axis=2)
+        small = codec._resize_gray(gray, 32)
+        d = codec._dct_matrix(32)
+        flat = (d @ small @ d.T)[:8, :8].copy().flatten()
+        med = np.median(flat[1:])
+        bits = (flat > med).astype(np.uint64)
+        val = np.uint64(0)
+        for i in range(64):
+            val = (val << np.uint64(1)) | bits[i]
+        return int(np.int64(val))
+
+    rng = np.random.default_rng(11)
+    shapes = [(32, 32), (48, 32), (96, 64), (128, 192), (3, 5), (1, 1),
+              (300, 500)]
+    for k in range(70):
+        h, w = shapes[k % len(shapes)]
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert codec.phash64(px) == reference(px), (k, h, w)
+    for i in range(10):
+        px = codec.synth_pixels(f"ph-ref-{i}", 96, 64)
+        assert codec.phash64(px) == reference(px)
+
+
+def test_image_bytes_memo_matches_fresh_instance():
+    """SyntheticWeb's per-page image-meta memo must serve byte-identical
+    payloads to a memo-cold instance, including repeat lookups."""
+    from owlcrawler_ray.sources.corpus import SyntheticWeb, WebConfig
+
+    cfg = WebConfig()
+    warm = SyntheticWeb(cfg)
+    metas = []
+    for pi in range(0, 6):
+        metas.extend(warm.images_on(0, pi))
+    got = [warm.image_bytes(m["image_url"]) for m in metas]
+    # second pass: memo fully hot
+    again = [warm.image_bytes(m["image_url"]) for m in metas]
+    cold = [SyntheticWeb(cfg).image_bytes(m["image_url"]) for m in metas]
+    assert got == cold and again == cold and len(got) > 0
