@@ -165,16 +165,21 @@ class SyntheticWeb:
             raise KeyError(image_url)
         host, pi, k, fmt = m.group(1), int(m.group(2)), int(m.group(3)), m.group(4)
         hi = int(host.split("-")[1].split(".")[0])
+        for meta in self._page_image_metas(hi, pi):
+            if meta["image_url"] == image_url:
+                pix = codec.synth_pixels(meta["image_id"], meta["w"], meta["h"])
+                return codec.encode(pix, fmt)
+        raise KeyError(image_url)
+
+    def _page_image_metas(self, hi: int, pi: int) -> list[dict]:
+        """Memoized images_on — pure in (cfg, hi, pi), shared by the
+        image_bytes hot path and html_for (bounded; see __init__)."""
         metas = self._img_meta_memo.get((hi, pi))
         if metas is None:
             if len(self._img_meta_memo) > 4096:
                 self._img_meta_memo.clear()
             metas = self._img_meta_memo[(hi, pi)] = self.images_on(hi, pi)
-        for meta in metas:
-            if meta["image_url"] == image_url:
-                pix = codec.synth_pixels(meta["image_id"], meta["w"], meta["h"])
-                return codec.encode(pix, fmt)
-        raise KeyError(image_url)
+        return metas
 
     def _title(self, hi: int, pi: int) -> str:
         rng = _rng_for(self.cfg.seed, "title", hi, pi)
@@ -245,9 +250,15 @@ class SyntheticWeb:
         nav.append('<a href="#top">top</a>')
         nav.append('<a href="mailto:owl@example.test">mail</a>')
         parts.append("<nav>" + " ".join(nav) + "</nav>")
-        for p in range(cfg.paragraphs):
-            parts.append(f"<p>{self._words(rng, cfg.words_per_paragraph)}</p>")
-        for meta in self.images_on(hi, pi):
+        if cfg.paragraphs:
+            # ONE batched draw: Generator.choice consumes the identical
+            # bit-stream for size=(P, W) as for P sequential size=W calls
+            # (pinned by test_html_bit_identical_to_sequential_words), and
+            # tolist() joins python strs instead of numpy scalars
+            words = rng.choice(_WORDS,
+                               size=(cfg.paragraphs, cfg.words_per_paragraph))
+            parts.extend(f"<p>{' '.join(row)}</p>" for row in words.tolist())
+        for meta in self._page_image_metas(hi, pi):
             src = meta["image_url"]
             parts.append(f'<img src="{src}" alt="{meta["caption"]}"/>')
         parts.append("<br/>")

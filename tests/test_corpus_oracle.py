@@ -94,3 +94,30 @@ def test_hot_host_skew_exists():
     assert counts.get("host-0.test", 0) > np.mean(
         [c for h, c in counts.items() if h != "host-0.test"]
     )
+
+
+def test_html_bit_identical_to_sequential_words():
+    """html_for's single batched rng.choice draw must produce the exact
+    html of the original per-paragraph loop: Generator.choice consumes
+    the identical bit stream for size=(P, W) as for P sequential size=W
+    calls. Re-derive the paragraphs the old way from the same stream and
+    compare the full page text."""
+    import numpy as np
+
+    from owlcrawler_ray.sources.corpus import (SyntheticWeb, WebConfig,
+                                               _WORDS, _rng_for)
+
+    cfg = WebConfig(paragraphs=5, words_per_paragraph=17)
+    web = SyntheticWeb(cfg)
+    for hi, pi in [(0, 0), (0, 3), (2, 1)]:
+        html = web.html_for(hi, pi)
+        rng = _rng_for(cfg.seed, "html", hi, pi)
+        old_paras = [
+            "<p>" + " ".join(rng.choice(_WORDS, size=17)) + "</p>"
+            for _ in range(5)
+        ]
+        for para in old_paras:
+            assert para in html, (hi, pi, para[:40])
+        # and order is preserved
+        idx = [html.index(p) for p in old_paras]
+        assert idx == sorted(idx)
