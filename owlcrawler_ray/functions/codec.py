@@ -126,12 +126,23 @@ def decode(buf: bytes) -> tuple[np.ndarray, str, int, int]:
     except (IndexError, KeyError, zlib.error, ValueError) as e:
         raise ValueError(f"corrupt OWLC payload: {e}") from e
     if s:
-        pix = np.clip(
-            q.astype(np.int32) * (1 << s) + (1 << (s - 1)), 0, 255
-        ).astype(np.uint8)
+        # bin-center reconstruction via a 256-entry LUT — byte-identical
+        # to clip(q*2^s + 2^(s-1), 0, 255).astype(uint8) by construction
+        # (the LUT IS that expression evaluated over all possible q), one
+        # vectorized take instead of int32 widen+multiply+clip per pixel
+        pix = _DEQUANT_LUT[s][q]
     else:
         pix = q
     return pix, fmt, w, h
+
+
+# dequantization LUTs for every wire-legal shift (decode rejects s>7)
+_DEQUANT_LUT = {
+    s: np.clip(
+        np.arange(256, dtype=np.int32) * (1 << s) + (1 << (s - 1)), 0, 255
+    ).astype(np.uint8)
+    for s in range(1, 8)
+}
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -240,3 +240,25 @@ def test_image_bytes_memo_matches_fresh_instance():
     again = [warm.image_bytes(m["image_url"]) for m in metas]
     cold = [SyntheticWeb(cfg).image_bytes(m["image_url"]) for m in metas]
     assert got == cold and again == cold and len(got) > 0
+
+
+def test_decode_lut_matches_arithmetic_form():
+    """The dequantization LUT must equal clip(q*2^s + 2^(s-1), 0, 255)
+    for every legal shift and every byte value — and decode must apply
+    it identically to the arithmetic original over random payloads."""
+    import numpy as np
+
+    for s in range(1, 8):
+        q = np.arange(256, dtype=np.int32)
+        ref = np.clip(q * (1 << s) + (1 << (s - 1)), 0, 255).astype(np.uint8)
+        assert np.array_equal(codec._DEQUANT_LUT[s], ref), s
+    rng = np.random.default_rng(3)
+    for k in range(30):
+        px = rng.integers(0, 256, size=(48, 32, 3), dtype=np.uint8)
+        for fmt in ("png", "jpeg", "webp"):
+            s = codec._FMT_SHIFT[fmt]
+            dec, *_ = codec.decode(codec.encode(px, fmt))
+            q = (px >> s) if s else px
+            ref = (np.clip(q.astype(np.int32) * (1 << s) + (1 << (s - 1)),
+                           0, 255).astype(np.uint8) if s else q)
+            assert np.array_equal(dec, ref), (k, fmt)
