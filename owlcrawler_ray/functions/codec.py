@@ -78,9 +78,18 @@ def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
     base, xy = _synth_shape_arrays(w, h)
     phase = rng.uniform(0, 2 * np.pi, size=3)
     freq = rng.uniform(0.05, 0.3, size=3)
-    wave = 40.0 * np.sin(freq * xy + phase)
-    noise = rng.normal(0, 12.0, size=(h, w, 3))
-    return np.clip(base + wave + noise, 0, 255).astype(np.uint8)
+    # in-place forms of 40*sin(freq*xy + phase) and base+wave+noise —
+    # identical value sequence and op order as the temporaries version
+    # (IEEE ops are deterministic; only allocations change), covered by
+    # the same differential test as the shape cache
+    acc = freq * xy
+    acc += phase
+    np.sin(acc, out=acc)
+    acc *= 40.0
+    acc += base
+    acc += rng.normal(0, 12.0, size=(h, w, 3))
+    np.clip(acc, 0, 255, out=acc)
+    return acc.astype(np.uint8)
 
 
 def encode(pixels: np.ndarray, fmt: str) -> bytes:
