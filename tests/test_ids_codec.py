@@ -262,3 +262,64 @@ def test_decode_lut_matches_arithmetic_form():
             ref = (np.clip(q.astype(np.int32) * (1 << s) + (1 << (s - 1)),
                            0, 255).astype(np.uint8) if s else q)
             assert np.array_equal(dec, ref), (k, fmt)
+
+
+def test_synth_phash_decode_property_sweep():
+    """Hypothesis sweep of the fast paths over arbitrary ids and shapes:
+    synth matches the uncached original form, phash matches the shift-
+    loop original, and decode round-trips through the LUT with the PSNR
+    floor intact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    def uncached(image_id, w, h):
+        import hashlib
+
+        seed = int.from_bytes(
+            hashlib.blake2b(image_id.encode(), digest_size=8).digest(),
+            "little")
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        base = np.stack(
+            [(xx / max(w - 1, 1)) * 255.0,
+             (yy / max(h - 1, 1)) * 255.0,
+             ((xx + yy) / max(w + h - 2, 1)) * 255.0], axis=-1)
+        phase = rng.uniform(0, 2 * np.pi, size=3)
+        freq = rng.uniform(0.05, 0.3, size=3)
+        wave = 40.0 * np.sin(freq * (xx + yy)[..., None] + phase)
+        noise = rng.normal(0, 12.0, size=(h, w, 3))
+        return np.clip(base + wave + noise, 0, 255).astype(np.uint8)
+
+    def phash_orig(pixels):
+        gray = pixels.astype(np.float64).mean(axis=2)
+        small = codec._resize_gray(gray, 32)
+        d = codec._dct_matrix(32)
+        flat = (d @ small @ d.T)[:8, :8].copy().flatten()
+        med = np.median(flat[1:])
+        bits = (flat > med).astype(np.uint64)
+        val = np.uint64(0)
+        for i in range(64):
+            val = (val << np.uint64(1)) | bits[i]
+        return int(np.int64(val))
+
+    @settings(max_examples=60, deadline=None, derandomize=True)
+    @given(
+        image_id=st.text(min_size=0, max_size=40),
+        w=st.integers(min_value=1, max_value=80),
+        h=st.integers(min_value=1, max_value=80),
+        fmt=st.sampled_from(["png", "jpeg", "webp"]),
+    )
+    def run(image_id, w, h, fmt):
+        pix = codec.synth_pixels(image_id, w, h)
+        assert np.array_equal(pix, uncached(image_id, w, h))
+        assert codec.phash64(pix) == phash_orig(pix)
+        dec, f2, w2, h2 = codec.decode(codec.encode(pix, fmt))
+        assert (f2, w2, h2) == (fmt, w, h)
+        if fmt == "png":
+            assert np.array_equal(dec, pix)
+        else:
+            assert codec.psnr(pix, dec) >= 40.0
+
+    run()
