@@ -311,6 +311,14 @@ def run_default() -> dict:
     _init_ray()
     _warm_page_cache()
     runs = [_time_queries() for _ in range(2)]
+    # adaptive third pass: the suite runs AFTER the crawl legs, so a
+    # window that degrades mid-bench inflates both passes together and
+    # min-of-2 cannot save the recorded tail. When the pass totals
+    # disagree >1.2x, one more pass (~45-60 s) makes the per-query
+    # minima window-robust, same stance as the crawl leg policy.
+    t1, t2 = (sum(r.values()) for r in runs)
+    if max(t1, t2) > 1.2 * max(min(t1, t2), 1e-9):
+        runs.append(_time_queries())
     ray.shutdown()
     qmin = {n: min(r[n] for r in runs) for n in BENCH_QUERIES}
 

@@ -108,6 +108,51 @@ def test_run_default_waits_out_noise_and_confirms_dip(monkeypatch):
     assert out["leg_spread"] > 2
 
 
+def test_run_default_adds_third_query_pass_when_passes_disagree(monkeypatch):
+    import time as _time
+
+    import ray
+
+    import bench
+
+    passes = [
+        {n: 0.1 for n in bench.BENCH_QUERIES},       # quiet pass
+        {n: 0.3 for n in bench.BENCH_QUERIES},       # window degraded 3x
+        {n: 0.12 for n in bench.BENCH_QUERIES},      # recovered
+    ]
+    it = iter(passes)
+    taken = []
+
+    def fake_pass():
+        p = next(it)
+        taken.append(p)
+        return p
+
+    def _leg(ncpu):
+        return {"crawl": {
+            "sec": 13.0, "fetched_urls": 100, "attempt_ticks": 110,
+            "image_rows": 150, "urls_per_s": 7.7,
+            "image_rows_per_s": 11.5, "seen_spill": False}}
+
+    monkeypatch.setattr(bench, "_crawl_leg", _leg)
+    monkeypatch.setattr(bench, "_init_ray", lambda: None)
+    monkeypatch.setattr(bench, "_warm_page_cache", lambda: None)
+    monkeypatch.setattr(bench, "_time_queries", fake_pass)
+    monkeypatch.setattr(ray, "shutdown", lambda: None)
+    monkeypatch.setattr(_time, "sleep", lambda s: None)
+    out = bench.run_default()
+    assert len(taken) == 3  # totals disagreed 3x -> third pass fired
+    assert out["queries"][bench.BENCH_QUERIES[0]] == 0.1
+    assert len(out["queries_runs"]) == 3
+
+    # tight passes -> exactly two
+    it = iter([{n: 0.1 for n in bench.BENCH_QUERIES},
+               {n: 0.11 for n in bench.BENCH_QUERIES}])
+    taken.clear()
+    out = bench.run_default()
+    assert len(taken) == 2
+
+
 def _run_scaling_with_legs(monkeypatch, secs_by_call):
     """Drive bench.run_scaling with stubbed legs. secs_by_call is consumed
     in call order; the ncpu of every call is recorded so the interleaving
