@@ -37,7 +37,7 @@ def test_wide_spread_with_quiet_min_retries_now():
 
 
 def test_budget_exhaustion_stops_even_when_noisy():
-    assert leg_policy([30.2, 31.0, 29.5], 32, 420.0) == "stop"
+    assert leg_policy([30.2, 31.0, 29.5], 32, 300.0) == "stop"
     assert leg_policy([14.0, 29.0], 32, 1e9) == "stop"
 
 
@@ -212,4 +212,4 @@ def test_run_default_stable_slow_plateau_is_flagged_noisy(monkeypatch):
     out, legs, sleeps = _run_default_with_legs(
         monkeypatch, [30.0] * 50, tick_per_leg=60.0)
     assert out["value"] == 30.0 and out["session"] == "noisy"
-    assert legs <= 11  # bounded by leg_policy's 420 s extra budget
+    assert legs <= 11  # bounded by leg_policy's 300 s extra budget
