@@ -320,6 +320,19 @@ def _slice_tables(tbl: pa.Table, n_blocks: int) -> list[pa.Table]:
 
 class Crawler:
     def __init__(self, cfg: CrawlConfig, resume: bool = False):
+        if cfg.mode == "polite" and (
+            cfg.politeness.rate_per_s <= 0 or cfg.politeness.burst < 1
+        ):
+            # such buckets can NEVER yield a whole token (take() floors
+            # with int(tokens)), so run()'s empty-admission branch would
+            # advance the virtual clock forever — refuse up front rather
+            # than livelock
+            raise ValueError(
+                "polite mode needs rate_per_s > 0 and burst >= 1 "
+                f"(got rate_per_s={cfg.politeness.rate_per_s}, "
+                f"burst={cfg.politeness.burst}); these buckets can never "
+                "grant a token and the crawl loop would spin forever"
+            )
         self.cfg = cfg
         self.web = SyntheticWeb(cfg.web)
         self.ckpt = CheckpointManager(cfg.ckpt_dir)
@@ -638,7 +651,15 @@ class Crawler:
                 admitted.append((prio, seq, url, h, depth))
         admitted.sort(key=lambda a: (a[0], a[1]))
         if self.cfg.max_ticks is not None:
-            admitted = admitted[: max(0, self.cfg.max_ticks - self.tick)]
+            cap = max(0, self.cfg.max_ticks - self.tick)
+            # the truncated entries stay queued in the frontier (cset is
+            # built from the kept slice), so REFUND their already-debited
+            # host tokens — same virtual instant, exact inverse of the
+            # take — or those hosts would be permanently undercounted on
+            # a resume with a raised max_ticks
+            for _, _, _, h, _ in admitted[cap:]:
+                self.gate.refund(h, 1)
+            admitted = admitted[:cap]
         cset = set(discard) | {a[1] for a in admitted}
         futs = []
         for s in range(nf):
@@ -788,30 +809,12 @@ class Crawler:
         cands = succ.column("fetch_candidates").combine_chunks()
         flat = pc.list_flatten(cands)
         parent = pc.list_parent_indices(cands).to_numpy(zero_copy_only=False)
-        # batched seen-shard RPC for ALL candidates of the round (the
-        # replacement for the reference's per-link HEAD check); the
-        # blake2b shard hash is the one per-string python cost kept —
-        # it must stay stable across processes/checkpoints (ids.py)
-        uniq_arr = pc.unique(flat)
-        uniq_arr = uniq_arr.take(pc.sort_indices(uniq_arr))
-        uniq = uniq_arr.to_pylist()
-        seen_np = np.zeros(len(uniq), dtype=bool)
-        if uniq:
-            shards = ids.shard_of(uniq, cfg.num_seen_shards)
-            futs, fidx = [], []
-            for sh in range(cfg.num_seen_shards):
-                idx = np.where(shards == sh)[0]
-                if len(idx):
-                    futs.append(self.seen[sh].contains_many.remote(
-                        [uniq[i] for i in idx]))
-                    fidx.append(idx)
-            for idx, mask in zip(fidx, ray.get(futs)):
-                seen_np[idx] = np.asarray(mask, dtype=bool)
         if len(parent):
-            flat_seen = seen_np[
-                pc.index_in(flat, value_set=uniq_arr)
-                .to_numpy(zero_copy_only=False)
-            ]
+            # batched seen-shard RPC for ALL candidates of the round (the
+            # replacement for the reference's per-link HEAD check):
+            # dedup -> per-shard fan-out -> index_in map-back, the shared
+            # _seen_mask_np pattern (this block was its third near-copy)
+            flat_seen = self._seen_mask_np(flat)
             # drop a candidate fetched EARLIER this round (tick <= the
             # linking page's tick); later-tick fetches stay queued —
             # exactly the old per-candidate dict condition
@@ -853,9 +856,13 @@ class Crawler:
         table_store.commit_round(cfg.out_dir, "stamps", self.round_id)
         tmr["stamps"] = time.perf_counter() - _t0
         _t0 = time.perf_counter()
-        n_images = int(pc.sum(
-            pc.list_value_length(succ.column("img_urls"))
-        ).as_py() or 0) if cfg.write_images else 0
+        # rows the committed images round ACTUALLY holds (part-metadata
+        # counts — no row data read): fetch misses and undecodable
+        # payloads are excluded, so the metric agrees with the store it
+        # describes instead of counting candidate img_urls
+        n_images = table_store.round_num_rows(
+            cfg.out_dir, "images", self.round_id
+        ) if cfg.write_images else 0
         tmr["images"] = time.perf_counter() - _t0
         _t0 = time.perf_counter()
         # ---- frontier growth: seqs in (tick, doc-order) = publish order -
@@ -1001,11 +1008,15 @@ class Crawler:
                 break
             m = self._process_round(admitted)
             m["timings"]["admit"] = round(admit_sec, 3)
+            # append BEFORE checkpointing: the manifest snapshots
+            # metrics["rounds"][-1], which must be THIS round's entry,
+            # not the previous round's (the checkpoint timing itself is
+            # stamped after — a checkpoint can't time itself)
+            self.metrics["rounds"].append(m)
             _tc = time.perf_counter()
             if self.round_id % cfg.checkpoint_every == 0:
                 self._checkpoint()
             m["timings"]["checkpoint"] = round(time.perf_counter() - _tc, 3)
-            self.metrics["rounds"].append(m)
             self.round_id += 1
         self._checkpoint()
         return self.summary()
@@ -1035,6 +1046,13 @@ class Crawler:
         chain would build an O(rounds)-deep plan."""
         parts = []
         for r in table_store.list_rounds(self.cfg.out_dir, name):
+            if not table_store.round_complete(self.cfg.out_dir, "stamps", r):
+                # pages/images commit ~100 driver lines before the stamps
+                # sidecar: a concurrent reader (webapp thread) landing in
+                # that window sees a data round whose stamps aren't
+                # committed yet — skip it (consistent snapshot) rather
+                # than crash the join on a missing sidecar
+                continue
             ds = table_store.round_dataset(self.cfg.out_dir, name, r)
             if ds is None:
                 continue  # round committed with zero successes

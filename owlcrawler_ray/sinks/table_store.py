@@ -50,7 +50,20 @@ class ParquetWriter:
         return pq.read_table(path, columns=columns)
 
     def write_dataset(self, ds, out_dir: str) -> None:
+        # Ray's write_parquet names files "{uuid}_{task}_{block}.parquet";
+        # every reader below discovers parts by the "part-" prefix, so a
+        # round written through this branch would commit fine yet read
+        # back EMPTY. Rename into the store's contract (driver-side: this
+        # branch is only ever called under write_round's atomic tmp dir).
         ds.write_parquet(out_dir)
+        for f in os.listdir(out_dir):
+            if f.endswith(self.ext) and not f.startswith("part-"):
+                os.rename(os.path.join(out_dir, f),
+                          os.path.join(out_dir, "part-" + f))
+
+    def num_rows(self, path: str) -> int:
+        """Row count from the parquet footer — no column data is read."""
+        return pq.ParquetFile(path).metadata.num_rows
 
     def dataset(self, files: list[str], columns: list[str] | None = None):
         import ray
@@ -122,6 +135,11 @@ class LanceWriter:
 
     def write_dataset(self, ds, out_dir: str) -> None:
         ds.write_lance(os.path.join(out_dir, "part-ds" + self.ext))
+
+    def num_rows(self, path: str) -> int:
+        import lance as _lance
+
+        return _lance.dataset(path).count_rows()
 
     def dataset(self, files: list[str], columns: list[str] | None = None):
         import ray.data as rd
@@ -274,10 +292,24 @@ def round_part_paths(root: str, name: str, round_id: int) -> tuple[str, list[str
     the driver touching row data."""
     w = round_writer(root, name, round_id)
     d = _round_dir(root, name, round_id)
+    try:  # a sibling table's round may not be committed yet (e.g. a
+        names = sorted(os.listdir(d))  # reader between the pages and
+    except OSError:                    # stamps commits) — report "no
+        names = []                     # parts", don't crash the view
     return w.name, [
-        os.path.join(d, f) for f in sorted(os.listdir(d))
+        os.path.join(d, f) for f in names
         if f.startswith("part-") and f.endswith(w.ext)
     ]
+
+
+def round_num_rows(root: str, name: str, round_id: int) -> int:
+    """Exact row count of one committed round from part METADATA (parquet
+    footers / lance manifests) — O(parts) tiny reads, no row data. Lets
+    per-round metrics report what the store actually holds (image decode
+    drops and fetch misses excluded) instead of candidate counts."""
+    wname, paths = round_part_paths(root, name, round_id)
+    w = WRITERS[wname]
+    return sum(w.num_rows(p) for p in paths)
 
 
 def _part_paths(root: str, name: str) -> list[tuple[str, str]]:

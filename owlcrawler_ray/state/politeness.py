@@ -41,6 +41,10 @@ from urllib.parse import urlsplit
 class PolitenessConfig:
     mode: str = "parity"  # "parity" | "polite"
     num_virtual_fetchers: int = 1
+    # LEGACY — nothing reads this: the virtual clock is owned by
+    # CrawlConfig.tick_seconds (the gate only sees the now_s the caller
+    # passes). Kept because asdict() feeds checkpoint fingerprints, so
+    # deleting the field would refuse resume of every existing store.
     tick_seconds: int = 5
     rate_per_s: float = 1.0  # polite mode: tokens/virtual-second/host
     burst: float = 4.0
@@ -224,6 +228,18 @@ class PolitenessGate:
                 self.cfg.rate_per_s, self.cfg.burst, now_s
             )
         return b.take(want, now_s)
+
+    def refund(self, host: str, n: int) -> None:
+        """Return ``n`` tokens debited at the CURRENT virtual instant —
+        the exact inverse of the take that granted them (no refill drift:
+        the bucket's ``last`` is untouched). Used when a global cap (e.g.
+        max_ticks) truncates entries AFTER their host budget was taken,
+        so the truncated entries' tokens aren't silently burned."""
+        if n <= 0:
+            return
+        b = self.buckets.get(host)
+        if b is not None:
+            b.tokens = min(b.burst, b.tokens + n)
 
     def state(self) -> dict:
         return {
