@@ -35,6 +35,12 @@ _FMT_NAME = {v: k for k, v in _FMT_CODE.items()}
 _FMT_SHIFT = {"png": 0, "jpeg": 2, "webp": 1}
 LOSSY_FMTS = ("jpeg", "webp")
 
+# decode() refuses headers claiming more pixels than this (67M px ≈
+# 201 MB raw): the 2-byte w/h fields allow 65535² ≈ 12.9 GB, so without
+# a bound a corrupt/hostile header turns the decode worker into an
+# allocation bomb long before the reshape check can raise
+MAX_DECODE_PIXELS = 1 << 26
+
 
 _SYNTH_CACHE: dict = {}
 
@@ -129,9 +135,20 @@ def decode(buf: bytes) -> tuple[np.ndarray, str, int, int]:
             raise ValueError(f"shift byte {s} out of range")
         w = int.from_bytes(buf[6:8], "little")
         h = int.from_bytes(buf[8:10], "little")
-        q = np.frombuffer(
-            zlib.decompress(buf[10:]), dtype=np.uint8
-        ).reshape(h, w, 3)
+        if w * h > MAX_DECODE_PIXELS:
+            raise ValueError(f"pixel count {w}x{h} beyond decode bound")
+        # bounded decompression: a hostile header + high-ratio stream
+        # (zlib bombs reach ~1000:1) must not allocate beyond what the
+        # header promises — decompress AT MOST w*h*3 bytes and require
+        # the stream to end exactly there (max_length=0 means unlimited,
+        # hence the `or 1` for the zero-pixel edge)
+        want = w * h * 3
+        d = zlib.decompressobj()
+        raw = d.decompress(buf[10:], want or 1)
+        if (len(raw) != want or d.decompress(b"", 1)
+                or not d.eof or d.unused_data):
+            raise ValueError("payload does not decompress to w*h*3 bytes")
+        q = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
     except (IndexError, KeyError, zlib.error, ValueError) as e:
         raise ValueError(f"corrupt OWLC payload: {e}") from e
     if s:
@@ -269,6 +286,13 @@ def decode_video_frames(buf: bytes, stride: int = 1,
     bytes (the hook point for a real ffmpeg-based sampler)."""
     buf = bytes(buf)
     n = video_frame_count(buf)
+    if 8 + 4 * n > len(buf):
+        # the 4-byte count is wire data: a corrupt header claiming 2^32
+        # frames would otherwise build a multi-GB sizes list from an
+        # 8-byte input before any frame decode could raise
+        raise ValueError(
+            f"OWLV index claims {n} frames beyond the payload length"
+        )
     sizes = [
         int.from_bytes(buf[8 + 4 * i : 12 + 4 * i], "little") for i in range(n)
     ]

@@ -67,24 +67,70 @@ class _TextExtractor(HTMLParser):
         pass
 
     def handle_data(self, data: str) -> None:
-        txt = data.strip()
-        if not txt:
-            return
-        tok, page = self._tok, self.page
-        if tok == "title":
-            page.title = txt
-        elif tok == "h1":
-            page.h1.append(txt)
-        elif tok == "h2":
-            page.h2.append(txt)
-        elif tok == "h3":
-            page.h3.append(txt)
-        elif tok == "h4":
-            page.h4.append(txt)
-        elif tok == "script":
-            return
+        _record_text(self.page, self._tok, data)
+
+
+def _record_text(page: PageStructure, tok: str, data: str) -> None:
+    """Route one data token into the page by the tracked tag — the
+    reference's switch (shared by the standalone and fused extractors,
+    so the tag routing can never diverge between them)."""
+    txt = data.strip()
+    if not txt:
+        return
+    if tok == "title":
+        page.title = txt
+    elif tok == "h1":
+        page.h1.append(txt)
+    elif tok == "h2":
+        page.h2.append(txt)
+    elif tok == "h3":
+        page.h3.append(txt)
+    elif tok == "h4":
+        page.h4.append(txt)
+    elif tok == "script":
+        return
+    else:
+        page.text.append(txt)
+
+
+def _resolve_rel(scheme: str, host: str, val: str) -> str | None:
+    """Resolve a scheme-relative ('//x') or root-relative ('/x') href/src
+    against the page origin; None for every other form (the reference's
+    unfetchable third href class). The ONE copy of the resolution rules
+    shared by link, image and fused extractors."""
+    if val.startswith("//"):
+        return f"{scheme}:{val}"
+    if val.startswith("/"):
+        return f"{scheme}://{host}{val}"
+    return None
+
+
+def _collect_hrefs(scheme: str, host: str, attrs, to_store: list,
+                   to_fetch: list, should_fetch) -> None:
+    """Reference href semantics over one <a> tag's attrs: every href is
+    stored (resolved where resolvable, verbatim otherwise); only the
+    resolvable classes passing ``should_fetch`` become fetch links."""
+    for key, val in attrs:
+        if key != "href":
+            continue
+        val = val if val is not None else ""
+        url = _resolve_rel(scheme, host, val)
+        if url is None:
+            to_store.append(val)
         else:
-            page.text.append(txt)
+            to_store.append(url)
+            if should_fetch(url):
+                to_fetch.append(url)
+
+
+def _collect_img(scheme: str, host: str, attrs, images: list) -> None:
+    """<img src alt> with hrefs' resolution rules (graft axis)."""
+    d = dict(attrs)
+    src = d.get("src") or ""
+    if not src:
+        return
+    url = _resolve_rel(scheme, host, src)
+    images.append((url if url is not None else src, d.get("alt") or ""))
 
 
 def extract_text(payload: str) -> PageStructure:
@@ -115,22 +161,8 @@ class _LinkExtractor(HTMLParser):
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag != "a":
             return
-        for key, val in attrs:
-            if key != "href":
-                continue
-            val = val if val is not None else ""
-            if val.startswith("//"):
-                url = f"{self.scheme}:{val}"
-                self.to_store.append(url)
-                if self.should_fetch(url):
-                    self.to_fetch.append(url)
-            elif val.startswith("/"):
-                url = f"{self.scheme}://{self.host}{val}"
-                self.to_store.append(url)
-                if self.should_fetch(url):
-                    self.to_fetch.append(url)
-            else:
-                self.to_store.append(val)
+        _collect_hrefs(self.scheme, self.host, attrs,
+                       self.to_store, self.to_fetch, self.should_fetch)
 
 
 def extract_links(payload: str, original_url: str,
@@ -168,17 +200,8 @@ class _ImageExtractor(HTMLParser):
         self.images: list[tuple[str, str]] = []  # (resolved src, alt)
 
     def _handle(self, tag: str, attrs) -> None:
-        if tag != "img":
-            return
-        d = dict(attrs)
-        src = d.get("src") or ""
-        if not src:
-            return
-        if src.startswith("//"):
-            src = f"{self.scheme}:{src}"
-        elif src.startswith("/"):
-            src = f"{self.scheme}://{self.host}{src}"
-        self.images.append((src, d.get("alt") or ""))
+        if tag == "img":
+            _collect_img(self.scheme, self.host, attrs, self.images)
 
     handle_starttag = _handle
     handle_startendtag = _handle
@@ -240,51 +263,16 @@ class _CombinedExtractor(HTMLParser):
             self._img(attrs)
 
     def _hrefs(self, attrs) -> None:
-        for key, val in attrs:
-            if key != "href":
-                continue
-            val = val if val is not None else ""
-            if val.startswith("//"):
-                url = f"{self.scheme}:{val}"
-                self.to_store.append(url)
-                self.to_fetch.append(url)
-            elif val.startswith("/"):
-                url = f"{self.scheme}://{self.host}{val}"
-                self.to_store.append(url)
-                self.to_fetch.append(url)
-            else:
-                self.to_store.append(val)
+        # fetch candidates BEFORE the seen policy -> should_fetch is
+        # always-true here (the crawl's advisory filter runs downstream)
+        _collect_hrefs(self.scheme, self.host, attrs,
+                       self.to_store, self.to_fetch, lambda u: True)
 
     def _img(self, attrs) -> None:
-        d = dict(attrs)
-        src = d.get("src") or ""
-        if not src:
-            return
-        if src.startswith("//"):
-            src = f"{self.scheme}:{src}"
-        elif src.startswith("/"):
-            src = f"{self.scheme}://{self.host}{src}"
-        self.images.append((src, d.get("alt") or ""))
+        _collect_img(self.scheme, self.host, attrs, self.images)
 
     def handle_data(self, data: str) -> None:
-        txt = data.strip()
-        if not txt:
-            return
-        tok, page = self._tok, self.page
-        if tok == "title":
-            page.title = txt
-        elif tok == "h1":
-            page.h1.append(txt)
-        elif tok == "h2":
-            page.h2.append(txt)
-        elif tok == "h3":
-            page.h3.append(txt)
-        elif tok == "h4":
-            page.h4.append(txt)
-        elif tok == "script":
-            return
-        else:
-            page.text.append(txt)
+        _record_text(self.page, self._tok, data)
 
 
 def extract_all(payload: str, original_url: str):

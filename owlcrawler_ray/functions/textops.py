@@ -118,6 +118,15 @@ _PRE_TAG = "_-_strong_-_"
 _POST_TAG = "_!-_strong_-_"
 
 
+def phrase_pattern(t0: str, t1: str) -> str:
+    """The slop-1 phrase regex of the reference's match_phrase query
+    (first two terms, at most one intervening word): THE single phrase
+    model — both the ranking side (webapp search scoring) and the
+    highlighting side (es_fragments) compile this, so the two can never
+    silently diverge."""
+    return re.escape(t0) + r"( [a-z]+)? " + re.escape(t1)
+
+
 def es_fragments(
     text: str,
     terms: tuple[str, ...],
@@ -150,9 +159,7 @@ def es_fragments(
         return []
     term_re = re.compile("|".join(re.escape(t) for t in terms))
     phrase_re = (
-        re.compile(
-            re.escape(terms[0]) + r"( [a-z]+)? " + re.escape(terms[1])
-        )
+        re.compile(phrase_pattern(terms[0], terms[1]))
         if len(terms) >= 2
         else None
     )

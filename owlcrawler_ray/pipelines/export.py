@@ -103,7 +103,14 @@ def export_pages(crawl_out: str, export_root: str, n_buckets: int = 8,
                  "n_p": pa.array(out_n, pa.int64())}
             )
 
-        table_store.read_all(crawl_out, "pages").map_batches(
+        # prune at the read: shard_write touches only these four columns,
+        # and the dominant pages payload (html, large_binary, 10-20x
+        # decompression) would otherwise stream through every worker heap
+        # just to be dropped
+        table_store.read_all(
+            crawl_out, "pages",
+            columns=["doc_id", "url", "title", "text"],
+        ).map_batches(
             shard_write, batch_format="pyarrow"
         ).count()
         for b in todo:

@@ -2403,9 +2403,12 @@ ORACLES["point_lookup"] = f"""
 # ---------------------------------------------------------------------------
 
 SEARCH_PHRASE = ("window", "merge")
-_PHRASE_RE = re.compile(
-    re.escape(SEARCH_PHRASE[0]) + r"( [a-z]+)? " + re.escape(SEARCH_PHRASE[1])
-)
+# shared slop-1 phrase model (textops.phrase_pattern) — the same string
+# the webapp ranking and es_fragments highlighting compile; the oracle
+# SQL literals below spell it out for DuckDB
+from ..functions.textops import phrase_pattern as _phrase_pattern  # noqa: E402
+
+_PHRASE_RE = re.compile(_phrase_pattern(*SEARCH_PHRASE))
 
 
 def _es_score(texts: pa.ChunkedArray) -> pa.ChunkedArray:

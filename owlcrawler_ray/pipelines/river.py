@@ -78,6 +78,19 @@ def _postings_for_parts(writer_name: str, paths: list[str]) -> pa.Table:
     return _round_postings(pa.concat_tables(tables, promote_options="default"))
 
 
+# wrapped ONCE at module scope: ray.remote caches the exported function
+# per WRAPPER, so re-wrapping inside poll() would pickle+export a fresh
+# function to the cluster on every call of a long-lived river (the same
+# per-closure-export pitfall documented at stages/fetch.py)
+_POSTINGS_TASK = ray.remote(num_cpus=1)(_postings_for_parts)
+
+_EMPTY_INDEX = pa.table(
+    {"word": pa.array([], pa.string()),
+     "doc_id": pa.array([], pa.string()),
+     "n": pa.array([], pa.int64())}
+)
+
+
 class IndexRiver:
     """Tails the pages rounds of a crawl output dir and maintains the
     word-index delta partitions. Stateless across restarts: the indexed
@@ -105,14 +118,13 @@ class IndexRiver:
         driver memory. This matches the reference river's remote tail of
         the change feed (elastic_search.go:169-185)."""
         newly = []
-        postings_task = ray.remote(num_cpus=1)(_postings_for_parts)
         pending = self.pending_rounds()
         futs = []
         for r in pending:
             wname, paths = table_store.round_part_paths(
                 self.out_root, "pages", r
             )
-            futs.append((r, postings_task.remote(wname, paths)))
+            futs.append((r, _POSTINGS_TASK.remote(wname, paths)))
         for r, fut in futs:
             delta = ray.get(fut)
             tmp = table_store.begin_round(self.out_root, "windex", r)
@@ -128,7 +140,12 @@ class IndexRiver:
         itself huge — use index_dataset() there."""
         deltas = table_store.read_all_arrow(self.out_root, "windex")
         if deltas.num_rows == 0:
-            return deltas
+            # a store with NO committed windex rounds reads back as a
+            # zero-COLUMN table; returning it as-is would KeyError every
+            # caller (search(), status pages) that touches the schema —
+            # the river is documented stateless/restartable, so a
+            # pre-first-poll query must yield an empty INDEX, not a crash
+            return _EMPTY_INDEX
         return (
             deltas.group_by(["word", "doc_id"]).aggregate([("n", "sum")])
             .rename_columns(["word", "doc_id", "n"])

@@ -36,10 +36,20 @@ def rows_for_indices(indices, n: int, with_near_dups: int) -> pa.Table:
     indices (0..n-1 = base images, n..n+dups-1 = lossy re-encodes of base
     i-n). Pure function of the index -> the table synthesizes DISTRIBUTED
     via rd.range(total).map_batches(...), no driver-side generation."""
+    # make_images_table caps dups at min(with_near_dups, n) (a dup needs
+    # a base image to re-encode); an index past that cap would silently
+    # synthesize a "dup" of a base that does not exist in the driver
+    # table, breaking the documented equivalence — fail loud instead
+    limit = n + min(with_near_dups, n)
     rows = {k: [] for k in
             ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
     for idx in indices:
         idx = int(idx)
+        if idx >= limit:
+            raise ValueError(
+                f"index {idx} beyond make_images_table(n={n}, "
+                f"with_near_dups={with_near_dups}) row count {limit}"
+            )
         if idx < n:
             i = idx
             fmt = _FMTS[i % 3]

@@ -45,7 +45,8 @@ from urllib.parse import parse_qs, urlsplit
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .functions.textops import es_fragments, sanitize_highlight
+from .functions.textops import (es_fragments, phrase_pattern,
+                                sanitize_highlight)
 from .sinks import table_store
 
 # ---- templates ----------------------------------------------------------
@@ -246,8 +247,9 @@ class CrawlWebApp:
         for t in terms[1:]:
             score = pc.add(score, pc.count_substring(joined, t))
         if len(terms) >= 2:
-            phrase = (re.escape(terms[0]) + r"( [a-z]+)? "
-                      + re.escape(terms[1]))
+            # shared slop-1 phrase model (textops.phrase_pattern): the
+            # ranking and highlighting sides compile the SAME pattern
+            phrase = phrase_pattern(terms[0], terms[1])
             score = pc.add(
                 score,
                 pc.multiply(

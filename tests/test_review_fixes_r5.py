@@ -146,3 +146,88 @@ def test_images_metric_matches_store_rows(ray_session, tmp_path):
         assert store_rows > 0
     finally:
         c.shutdown()
+
+
+# -- codec robustness: bounded allocation on hostile payloads -------------
+
+def test_decode_rejects_zlib_bomb_bounded():
+    """A high-ratio stream behind a valid header must raise ValueError
+    after at most w*h*3 bytes of decompression, not allocate the full
+    expansion."""
+    import zlib
+    from owlcrawler_ray.functions import codec
+
+    head = (codec.MAGIC + bytes([0, 0])  # png, shift 0
+            + (8).to_bytes(2, "little") + (8).to_bytes(2, "little"))
+    bomb = head + zlib.compress(b"\x00" * (64 << 20), 9)  # 64 MB of zeros
+    with pytest.raises(ValueError):
+        codec.decode(bomb)
+
+
+def test_decode_rejects_absurd_header_dims():
+    import zlib
+    from owlcrawler_ray.functions import codec
+
+    head = (codec.MAGIC + bytes([0, 0])
+            + (65535).to_bytes(2, "little") + (65535).to_bytes(2, "little"))
+    with pytest.raises(ValueError):
+        codec.decode(head + zlib.compress(b"\x00" * 100))
+
+
+def test_decode_roundtrip_unchanged_after_bounding():
+    import numpy as np
+    from owlcrawler_ray.functions import codec
+
+    for fmt in ("png", "jpeg", "webp"):
+        pix = codec.synth_pixels("bound-check", 33, 17)
+        back, f, w, h = codec.decode(codec.encode(pix, fmt))
+        assert (f, w, h) == (fmt, 33, 17)
+        if fmt == "png":
+            assert np.array_equal(back, pix)
+
+
+def test_video_decode_rejects_hostile_frame_count():
+    from owlcrawler_ray.functions import codec
+
+    buf = codec.VIDEO_MAGIC + (2**32 - 1).to_bytes(4, "little")
+    assert codec.video_frame_count(buf) == 2**32 - 1  # count is cheap
+    with pytest.raises(ValueError, match="beyond the payload"):
+        codec.decode_video_frames(buf)
+
+
+def test_video_roundtrip_unchanged_after_bounding():
+    from owlcrawler_ray.functions import codec
+
+    frames = [codec.synth_pixels(f"vf{i}", 16, 16) for i in range(5)]
+    buf = codec.encode_video(frames, "png")
+    got = codec.decode_video_frames(buf, stride=2)
+    assert len(got) == 3
+
+
+# -- river: empty store must yield an empty index, not a KeyError ---------
+
+def test_river_empty_store_searchable(tmp_path):
+    from owlcrawler_ray.pipelines.river import IndexRiver
+
+    r = IndexRiver(str(tmp_path / "fresh"))
+    idx = r.index_table()
+    assert idx.num_rows == 0
+    assert set(idx.column_names) == {"word", "doc_id", "n"}
+    hits = r.search("anything")
+    assert hits.num_rows == 0
+
+
+# -- images_table: distributed generator refuses out-of-table indices -----
+
+def test_rows_for_indices_rejects_past_dup_cap():
+    from owlcrawler_ray.sources.images_table import (make_images_table,
+                                                     rows_for_indices)
+
+    n, nd = 2, 5  # make_ caps dups at n -> 4 rows total
+    assert make_images_table(n, nd).num_rows == n + min(nd, n)
+    with pytest.raises(ValueError, match="beyond make_images_table"):
+        rows_for_indices(range(n + nd), n, nd)
+    ok = rows_for_indices(range(n + min(nd, n)), n, nd)
+    assert ok.num_rows == n + min(nd, n)
+    # and the in-range rows still match the driver table exactly
+    assert ok.equals(make_images_table(n, nd))
