@@ -261,10 +261,14 @@ def leg_policy(secs: list[float], ncpu: int, extra_elapsed: float) -> str:
 
     Pure function of (leg seconds so far, cpu width, extra wall-clock
     already spent beyond the first two legs) so the policy is unit-testable
-    without running crawls. Budget: at most EXTRA_BUDGET_S beyond the
-    mandatory two legs, so the whole bench stays safely inside any
-    plausible driver timeout even in a permanently noisy window."""
+    without running crawls. Budget: before choosing 'wait' or 'retry' the
+    policy RESERVES the cost of that action (the sleep plus one leg at the
+    slowest pace seen so far), so the extra spend beyond the mandatory two
+    legs stays within EXTRA_BUDGET_S unless the final leg runs slower than
+    every previous one — a post-spend check alone would let a 'wait' issued
+    at 299 s burn another sleep+leg past the bound."""
     EXTRA_BUDGET_S = 300.0
+    WAIT_SLEEP_S = 45.0
     quiet_band = 20.0 * (32.0 / max(ncpu, 1))
     srt = sorted(secs)
     # the recorded artifact is min-of-legs, so the minimum is trustworthy
@@ -273,12 +277,14 @@ def leg_policy(secs: list[float], ncpu: int, extra_elapsed: float) -> str:
     # would burn the budget re-confirming an already-confirmed dip)
     if srt[0] <= quiet_band and srt[1] / max(srt[0], 1e-9) <= 1.25:
         return "stop"
-    if extra_elapsed >= EXTRA_BUDGET_S:
-        return "stop"
     # every leg above the band = a noisy plateau: waiting beats
     # re-measuring the same window; a lone unconfirmed dip = the window
     # is already moving, measure again immediately to confirm it
-    return "wait" if srt[0] > quiet_band else "retry"
+    act = "wait" if srt[0] > quiet_band else "retry"
+    cost = srt[-1] + (WAIT_SLEEP_S if act == "wait" else 0.0)
+    if extra_elapsed + cost > EXTRA_BUDGET_S:
+        return "stop"
+    return act
 
 
 def run_default() -> dict:
@@ -390,13 +396,22 @@ def run_scaling() -> dict:
         "sec_hi": hi["crawl"]["sec"],
         "scaling_efficiency": round((thr_hi / thr_lo) / 4.0, 3),
         "image_scaling_efficiency": round((img_hi / img_lo) / 4.0, 3),
-        # machine-state evidence: raw legs per level + spread flag, same
-        # stance as the headline bench (identical-code legs have measured
-        # 1.5-1.9x apart across minutes on this VM — see STATS.md)
+        # machine-state evidence: raw legs per level + two flags.
+        # "session" is the headline bench's stance exactly — full max/min
+        # spread ≤ 1.25 AND the minimum inside the width's quiet band, per
+        # width (a lone outlier leg or a stable-slow plateau reads noisy).
+        # "minima_confirmed" records the weaker property the RATIO needs:
+        # each width's minimum was reproduced within 1.25x by its second-
+        # smallest leg, so min-of-legs per width is trustworthy even when
+        # an outlier leg flags the session noisy.
         "legs_lo": raw_legs.get(n_lo),
         "legs_hi": raw_legs.get(n_hi),
-        "session": ("noisy" if any(
-            l[1] > 1.25 * l[0] for l in raw_legs.values()) else "quiet"),
+        "session": ("quiet" if all(
+            l[-1] / max(l[0], 1e-9) <= 1.25
+            and l[0] <= 20.0 * (32.0 / n)
+            for n, l in raw_legs.items()) else "noisy"),
+        "minima_confirmed": all(
+            l[1] / max(l[0], 1e-9) <= 1.25 for l in raw_legs.values()),
     }
 
 

@@ -2863,10 +2863,12 @@ def _bigram_halves(sf_dir: str):
             .rename_columns(["bigram", "lo_p", "hi_p"])
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bigram")
-        .aggregate(Min("lo_p", alias_name="lo"), Max("hi_p", alias_name="hi"))
+    # bigram key space is WIDER than the unigram vocab that motivated
+    # _bucket_merge — Ray's per-key Aggregate walk is the wrong merge here
+    return _bucket_merge(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["bigram"], aggs=[("lo_p", "min"), ("hi_p", "max")],
+        out=["lo", "hi"],
     )
 
 
@@ -2882,6 +2884,9 @@ def q_bigram_setops(sf_dir: str):
     One shared halves aggregate feeds both ops via a tag map — no second
     corpus pass, no extra shuffle."""
     def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # schema-less _bucket_merge empty block
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "op": pa.array([], pa.string())})
         keep = batch.filter(pc.equal(batch.column("lo"), 0))
         op = pc.if_else(
             pc.equal(keep.column("hi"), 1),
@@ -3090,6 +3095,8 @@ def q_frequent_words(sf_dir: str):
     )
 
     def prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # schema-less empty block (see _hot_rows)
+            return batch
         idx = pc.select_k_unstable(
             batch, k=min(k, batch.num_rows),
             sort_keys=[("n", "descending"), ("word", "ascending")],
@@ -3150,17 +3157,15 @@ def q_cms_frequent_words(sf_dir: str):
             }
         )
 
-    from ..functions.sketch import CountMinSketch as _CMS
-
     parts = ray.get(
         ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
     )
-    merged = _CMS()
+    merged = CountMinSketch()
     cands: set[str] = set()
     for t in parts:
         for buf, cl in zip(t.column("counts").to_pylist(),
                            t.column("cands").to_pylist()):
-            other = _CMS()
+            other = CountMinSketch()
             other.counts = np.frombuffer(buf, dtype=np.int64).reshape(
                 merged.d, merged.w
             ).copy()
@@ -3629,13 +3634,18 @@ def q_partitioned_join(sf_dir: str):
             .rename_columns(["o_orderkey", "rev_pp"])
         )
 
-    agg = (
-        joined.map_batches(finalize_partial, batch_format="pyarrow")
-        .groupby("o_orderkey")
-        .aggregate(Sum("rev_pp", alias_name="rev_raw"))
+    # post-join key space is near-unique (one key per urgent order):
+    # merge the rev_pp partials with the vectorized bucket pattern, not
+    # Ray's per-key Aggregate walk
+    agg = _bucket_merge(
+        joined.map_batches(finalize_partial, batch_format="pyarrow"),
+        keys=["o_orderkey"], aggs=[("rev_pp", "sum")], out=["rev_raw"],
     )
 
     def rounder(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # schema-less _bucket_merge empty block
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "revenue_cents": pa.array([], pa.int64())})
         return pa.table(
             {
                 "o_orderkey": batch.column("o_orderkey"),

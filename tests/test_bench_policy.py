@@ -41,6 +41,18 @@ def test_budget_exhaustion_stops_even_when_noisy():
     assert leg_policy([14.0, 29.0], 32, 1e9) == "stop"
 
 
+def test_budget_reserves_the_cost_of_the_next_action():
+    # a 'wait' costs 45 s sleep + one leg at the slowest pace seen (31 s):
+    # at 260 s spent, 260+76 > 300 must stop — the old post-spend check
+    # would have slept and crawled ~76 s past the documented bound
+    assert leg_policy([30.2, 31.0], 32, 260.0) == "stop"
+    assert leg_policy([30.2, 31.0], 32, 200.0) == "wait"
+    # a 'retry' reserves just the leg (no sleep): 280+29 > 300 stops,
+    # 270+29 <= 300 still retries
+    assert leg_policy([14.0, 29.0], 32, 280.0) == "stop"
+    assert leg_policy([14.0, 29.0], 32, 270.0) == "retry"
+
+
 def test_unconfirmed_dip_retries_then_confirmed_dip_stops():
     # a spaced leg caught a dip: one more immediate leg to confirm it...
     assert leg_policy([30.0, 31.0, 13.5], 32, 100.0) == "retry"
@@ -183,6 +195,7 @@ def test_run_scaling_interleaves_widths(monkeypatch):
     # efficiency = (100/25 urls-per-s ratio) / 4 = (4/1)/4 = 1.0
     assert out["scaling_efficiency"] == 1.0
     assert out["session"] == "quiet"
+    assert out["minima_confirmed"] is True
 
 
 def test_run_scaling_noisy_round_adds_a_leg_to_both_widths(monkeypatch):
@@ -192,9 +205,11 @@ def test_run_scaling_noisy_round_adds_a_leg_to_both_widths(monkeypatch):
     assert order == [2, 8, 2, 8, 2, 8]
     assert out["sec_lo"] == 100.0 and out["sec_hi"] == 25.0
     # the extra round CONFIRMED both minima (two smallest legs per width
-    # agree), so the recorded ratio is trustworthy: flagged quiet — the
-    # raw legs still carry the 130 s outlier for the honest history
-    assert out["session"] == "quiet"
+    # agree) so the recorded RATIO is trustworthy — but the 130 s outlier
+    # means the window moved, and the session flag (full max/min spread,
+    # the headline bench's stance) must say so honestly
+    assert out["session"] == "noisy"
+    assert out["minima_confirmed"] is True
     assert out["legs_lo"] == [100.0, 101.0, 130.0]
 
 
@@ -202,8 +217,10 @@ def test_run_scaling_unconfirmed_minimum_is_flagged_noisy(monkeypatch):
     out, order = _run_scaling_with_legs(
         monkeypatch, [130.0, 26.0, 100.0, 25.0, 131.0, 25.5])
     assert order == [2, 8, 2, 8, 2, 8]
-    # lo minimum 100 s was never reproduced within 1.25x: noisy
+    # lo minimum 100 s was never reproduced within 1.25x: noisy, and the
+    # ratio itself is unconfirmed
     assert out["session"] == "noisy"
+    assert out["minima_confirmed"] is False
 
 
 def test_run_default_stable_slow_plateau_is_flagged_noisy(monkeypatch):
