@@ -135,6 +135,12 @@ def decode(buf: bytes) -> tuple[np.ndarray, str, int, int]:
             raise ValueError(f"shift byte {s} out of range")
         w = int.from_bytes(buf[6:8], "little")
         h = int.from_bytes(buf[8:10], "little")
+        if w == 0 or h == 0:
+            # encode() never writes a zero dimension; a (0,w,3) array
+            # "decodes" fine but crashes every downstream consumer
+            # (phash64/resize index row 0) OUTSIDE their except-ValueError
+            # guards — reject it here where the contract is ValueError
+            raise ValueError(f"zero image dimension {w}x{h}")
         if w * h > MAX_DECODE_PIXELS:
             raise ValueError(f"pixel count {w}x{h} beyond decode bound")
         # bounded decompression: a hostile header + high-ratio stream

@@ -371,6 +371,19 @@ class Crawler:
         if resume:
             restored = self._restore()
         if not restored:
+            if cfg.seen_spill:
+                # FRESH crawl (or resume that found no checkpoint) over a
+                # reused ckpt_dir: SeenShard.__init__ loads any stale
+                # seen_run_* spill files it finds — correct for mid-crawl
+                # actor restarts, but ACROSS crawls it would resurrect the
+                # previous crawl's seen set and silently suppress fetches.
+                # restore() with an empty snapshot clears runs + files +
+                # filter through the same audited path resume uses.
+                empty = pa.table({
+                    "url": pa.array([], pa.string()),
+                    "url_hash": pa.array([], pa.uint64()),
+                })
+                ray.get([s.restore.remote(empty) for s in self.seen])
             self._seed()
 
     # ------------------------------------------------------------------

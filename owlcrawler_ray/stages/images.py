@@ -92,7 +92,10 @@ class ImageDecoder:
         out = pa.table(
             {
                 "image_id": pa.array(rows["image_id"], type=pa.string()),
-                "bytes": pa.array(rows["bytes"], type=pa.binary()),
+                # large_binary (64-bit offsets), same as the fetch stage:
+                # int32-offset binary overflows past 2 GiB of payload per
+                # batch — the module contract is large_binary end to end
+                "bytes": pa.array(rows["bytes"], type=pa.large_binary()),
                 "w": pa.array(np.asarray(rows["w"], dtype=np.int32)),
                 "h": pa.array(np.asarray(rows["h"], dtype=np.int32)),
                 "fmt": pa.array(rows["fmt"], type=pa.string()),

@@ -212,6 +212,24 @@ class CrawlWebApp:
         self._cache[key] = (sig, t)
         return t
 
+    def _pages_with_body(self) -> tuple[pa.Table, pa.ChunkedArray]:
+        """Search's working set: the pages table AND its joined body
+        column, cached together under one round-set signature. The join
+        is O(total corpus chars) — recomputing it per request (under
+        ThreadingHTTPServer, per CONCURRENT request) is exactly the cost
+        profile the _read cache exists to prevent, and caching them as
+        one entry keeps table and join from straddling a round commit."""
+        sig = tuple(table_store.list_rounds(self.out_dir, "pages"))
+        hit = self._cache.get("_pages_body")
+        if hit is not None and hit[0] == sig:
+            return hit[1], hit[2]
+        pages = table_store.read_all_arrow(
+            self.out_dir, "pages",
+            columns=["doc_id", "url", "title", "text"])
+        joined = pc.binary_join(pages.column("text"), " ")
+        self._cache["_pages_body"] = (sig, pages, joined)
+        return pages, joined
+
     # ---- backing queries (pruned driver-side reads) -------------------
     def stats(self) -> dict:
         """fetched/parsed counts + the sites LIST — the reference's
@@ -239,10 +257,9 @@ class CrawlWebApp:
         terms = tuple(t for t in term.split() if t)
         if not terms:
             return []
-        pages = self._read("pages", ["doc_id", "url", "title", "text"])
+        pages, joined = self._pages_with_body()
         if pages.num_rows == 0:
             return []
-        joined = pc.binary_join(pages.column("text"), " ")
         score = pc.cast(pc.count_substring(joined, terms[0]), pa.int64())
         for t in terms[1:]:
             score = pc.add(score, pc.count_substring(joined, t))
@@ -386,8 +403,11 @@ class CrawlWebApp:
                         ),
                     ))
                 elif parts.path == "/add-site":
-                    self._send(200, self._add_site_page(
-                        q.get("url", [""])[0]))
+                    # GET serves the form ONLY — the mutation is POST-only
+                    # (like the reference's form): a state-changing GET
+                    # lets any cross-origin <img src="/add-site?url=...">
+                    # or link prefetcher inject crawl seeds
+                    self._send(200, self._add_site_page(""))
                 elif parts.path == "/robots.txt":
                     self._send(200, _ROBOTS_TXT,
                                ctype="text/plain; charset=UTF-8")

@@ -92,6 +92,31 @@ def test_restart_without_resume_flag_starts_fresh(ray_session, tmp_path):
         c2.shutdown()
 
 
+def test_fresh_crawl_does_not_inherit_stale_spill_runs(ray_session, tmp_path):
+    """seen_spill mode: SeenShard.__init__ loads any seen_run_* files in
+    its spill dir (needed for mid-crawl actor restarts). A FRESH crawl
+    reusing the ckpt_dir must NOT inherit the previous crawl's spilled
+    seen set — stale runs would mark every URL already-seen and silently
+    suppress all fetches."""
+    import glob
+
+    base = str(tmp_path / "spillfresh")
+    shutil.rmtree(base, ignore_errors=True)
+    spill_kw = dict(seen_spill=True, seen_max_mem_urls=2)
+    c1, s1 = run_crawl(_cfg(base, **spill_kw))
+    c1.shutdown()
+    # the first crawl must actually have spilled for the test to bite
+    assert glob.glob(f"{base}/ckpt/seen_spill/seen_run_*.parquet")
+
+    c2, s2 = run_crawl(_cfg(base, **spill_kw))
+    try:
+        assert s2["fetched"] == s1["fetched"]
+        urls = [p["url"] for p in c2.pages_table().to_pylist()]
+        assert len(urls) == len(set(urls)) == s1["fetched"]
+    finally:
+        c2.shutdown()
+
+
 def test_resume_prunes_stale_rounds_after_checkpoint(ray_session, tmp_path):
     """A kill INSIDE the checkpoint_every window leaves committed output
     rounds NEWER than the newest checkpoint. Resuming with a different

@@ -164,6 +164,21 @@ def test_decode_rejects_zlib_bomb_bounded():
         codec.decode(bomb)
 
 
+def test_decode_rejects_zero_dimension_header():
+    """w=0 or h=0 'decodes' to a (0,w,3) array that crashes phash64 /
+    resize_nearest with IndexError OUTSIDE their except-ValueError guards
+    (would kill the whole crawl round / thumbnail pass); decode must
+    normalize it to the documented ValueError."""
+    import zlib
+    from owlcrawler_ray.functions import codec
+
+    for w, h in ((0, 8), (8, 0), (0, 0)):
+        head = (codec.MAGIC + bytes([0, 0])
+                + w.to_bytes(2, "little") + h.to_bytes(2, "little"))
+        with pytest.raises(ValueError):
+            codec.decode(head + zlib.compress(b""))
+
+
 def test_decode_rejects_absurd_header_dims():
     import zlib
     from owlcrawler_ray.functions import codec

@@ -88,9 +88,10 @@ def test_webapp_status_search_addsite(crawl_out):
         assert crawler.sites_table().num_rows == n_sites0 + 1
         body = _get(base + "/")
         assert body.count("<li><h3>") == n_sites0 + 1
-        # the GET ?url= form keeps working (detached journaling surface)
-        body = _get(base + "/add-site?url=http://host-3.test/")
-        assert "Site submitted" in body  # idempotent: dup doc not re-added
+        # GET /add-site serves the FORM only — a state-changing GET would
+        # let any cross-origin <img src=...> or prefetcher inject seeds
+        body = _get(base + "/add-site?url=http://host-99.test/")
+        assert "Scan!" in body and "Site submitted" not in body
         assert crawler.sites_table().num_rows == n_sites0 + 1
 
         # static app assets the reference serves from its build dirs
