@@ -146,11 +146,12 @@ def decode(buf: bytes) -> tuple[np.ndarray, str, int, int]:
         # bounded decompression: a hostile header + high-ratio stream
         # (zlib bombs reach ~1000:1) must not allocate beyond what the
         # header promises — decompress AT MOST w*h*3 bytes and require
-        # the stream to end exactly there (max_length=0 means unlimited,
-        # hence the `or 1` for the zero-pixel edge)
+        # the stream to end exactly there (want >= 3 always: the
+        # zero-dimension guard above already rejected w*h == 0, and
+        # max_length=0 would mean unlimited)
         want = w * h * 3
         d = zlib.decompressobj()
-        raw = d.decompress(buf[10:], want or 1)
+        raw = d.decompress(buf[10:], want)
         if (len(raw) != want or d.decompress(b"", 1)
                 or not d.eof or d.unused_data):
             raise ValueError("payload does not decompress to w*h*3 bytes")

@@ -341,6 +341,19 @@ class Crawler:
         spill = (
             os.path.join(cfg.ckpt_dir, "seen_spill") if cfg.seen_spill else None
         )
+        if spill and not (resume and self.ckpt.latest_round() is not None):
+            # FRESH crawl (or resume that will find no checkpoint) over a
+            # reused ckpt_dir: SeenShard.__init__ loads every seen_run_*
+            # spill file it finds — correct for mid-crawl actor restarts,
+            # but ACROSS crawls it would resurrect the previous crawl's
+            # seen set and silently suppress fetches. Clear the stale runs
+            # DRIVER-SIDE before the shard actors exist: loading a
+            # previous 10^10-URL seen set into every shard's filter only
+            # to discard it is O(that whole set) of wasted startup work.
+            if os.path.isdir(spill):
+                for fn in os.listdir(spill):
+                    if fn.startswith("seen_run_"):
+                        os.remove(os.path.join(spill, fn))
         self.seen = [
             seen_cls.remote(i, 1 << 16, cfg.exact_seen, cfg.use_cuckoo,
                             spill, cfg.seen_max_mem_urls)
@@ -371,19 +384,9 @@ class Crawler:
         if resume:
             restored = self._restore()
         if not restored:
-            if cfg.seen_spill:
-                # FRESH crawl (or resume that found no checkpoint) over a
-                # reused ckpt_dir: SeenShard.__init__ loads any stale
-                # seen_run_* spill files it finds — correct for mid-crawl
-                # actor restarts, but ACROSS crawls it would resurrect the
-                # previous crawl's seen set and silently suppress fetches.
-                # restore() with an empty snapshot clears runs + files +
-                # filter through the same audited path resume uses.
-                empty = pa.table({
-                    "url": pa.array([], pa.string()),
-                    "url_hash": pa.array([], pa.uint64()),
-                })
-                ray.get([s.restore.remote(empty) for s in self.seen])
+            # stale seen-spill runs were already cleared driver-side above
+            # (before the shard actors could load them), so the shards
+            # start empty here by construction
             self._seed()
 
     # ------------------------------------------------------------------

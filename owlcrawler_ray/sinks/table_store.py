@@ -358,13 +358,39 @@ def round_dataset(root: str, name: str, round_id: int,
     return WRITERS[wname].dataset(paths, columns=columns)
 
 
+def _concat_parts(tables: list[pa.Table]) -> pa.Table:
+    """concat with STRICT promotion, healing exactly one benign split:
+    parts that disagree only in string/binary offset width (binary vs
+    large_binary, string vs large_string — e.g. an images store whose
+    older rounds predate the decoder's large_binary upgrade). Those casts
+    are lossless, so widen and retry; every other schema drift still
+    fails loudly (permissive promotion across the board would silently
+    paper over genuine part corruption with int upcasts and null fills).
+    """
+    try:
+        return pa.concat_tables(tables, promote_options="default")
+    except pa.lib.ArrowTypeError:
+        widen = {pa.binary(): pa.large_binary(),
+                 pa.string(): pa.large_string()}
+
+        def widened(t: pa.Table) -> pa.Table:
+            for i, f in enumerate(t.schema):
+                if f.type in widen:
+                    t = t.set_column(
+                        i, f.name, t.column(i).cast(widen[f.type]))
+            return t
+
+        return pa.concat_tables(
+            [widened(t) for t in tables], promote_options="default")
+
+
 def read_all_arrow_round(root: str, name: str, round_id: int) -> pa.Table:
     """One committed round's parts as an Arrow table."""
     wname, paths = round_part_paths(root, name, round_id)
     tables = [WRITERS[wname].read(p) for p in paths]
     if not tables:
         return pa.table({})
-    return pa.concat_tables(tables, promote_options="default")
+    return _concat_parts(tables)
 
 
 def read_all_arrow(root: str, name: str,
@@ -377,4 +403,4 @@ def read_all_arrow(root: str, name: str,
     ]
     if not tables:
         return pa.table({})
-    return pa.concat_tables(tables, promote_options="default")
+    return _concat_parts(tables)

@@ -14,11 +14,16 @@ ES query. Here they are backed by a crawl OUTPUT directory:
                     the same es_fragments/es_sanitize pair the search
                     queries use (the reference's `_-_strong_-_` sentinel
                     sanitize, webapp/main.go:137-141)
-  /add-site?url=... with a live Crawler attached: persists the site- doc
-                    and enqueues the URL exactly like the reference's
-                    NATS fetch-queue publish (main.go:160-180); detached:
-                    journals the URL to <out>/submitted-sites.txt for the
-                    next `--resume --add-site` run
+  /add-site         GET serves the submission form ONLY; the mutation is
+                    a POST (same shape as the reference's form submit,
+                    main.go:142-198). With a live Crawler attached the
+                    POST persists the site- doc and enqueues the URL
+                    exactly like the reference's NATS fetch-queue publish
+                    (main.go:160-180); detached it journals the URL to
+                    <out>/submitted-sites.txt for the next
+                    `--resume --add-site` run. Cross-origin POSTs are
+                    rejected (Origin/Host check) so a hostile page cannot
+                    auto-submit crawl seeds.
 
 The serving layer is deliberately Ray-free (pruned driver-side parquet
 reads — a status page must not need a cluster session); a live Crawler
@@ -226,6 +231,18 @@ class CrawlWebApp:
         pages = table_store.read_all_arrow(
             self.out_dir, "pages",
             columns=["doc_id", "url", "title", "text"])
+        if "text" not in pages.column_names:
+            # an EMPTY store reads as a schema-less pa.table({}) — the
+            # supported detached/before-first-commit webapp state. Normalize
+            # to the typed empty shape so the join below and every caller's
+            # num_rows == 0 guard keep working instead of KeyError'ing the
+            # handler thread.
+            pages = pa.table({
+                "doc_id": pa.array([], pa.string()),
+                "url": pa.array([], pa.string()),
+                "title": pa.array([], pa.string()),
+                "text": pa.array([], pa.list_(pa.string())),
+            })
         joined = pc.binary_join(pages.column("text"), " ")
         self._cache["_pages_body"] = (sig, pages, joined)
         return pages, joined
@@ -428,6 +445,24 @@ class CrawlWebApp:
                 if parts.path != "/add-site":
                     self._send(404, _SHELL.format(
                         title="Not found", nav=_nav(""), body=""))
+                    return
+                # same-origin gate: browsers attach an Origin header to
+                # every cross-origin form POST (SOP blocks reading the
+                # response, not sending the request), so a hostile page's
+                # auto-submitted form carries origin evil.test != our Host
+                # and is refused — seed injection needs a same-origin
+                # request. Non-browser clients (curl, tests) send no
+                # Origin and pass.
+                origin = self.headers.get("Origin")
+                if origin and (
+                    origin == "null"  # opaque origin: cross-site by def.
+                    or urlsplit(origin).netloc
+                    != (self.headers.get("Host") or "")
+                ):
+                    self._send(403, _SHELL.format(
+                        title="Forbidden", nav=_nav(""),
+                        body="<p>cross-origin form submission "
+                             "rejected</p>"))
                     return
                 n = int(self.headers.get("Content-Length") or 0)
                 q = parse_qs(self.rfile.read(n).decode("utf-8"))
