@@ -147,6 +147,34 @@ def test_images_decode_stats(ray_session):
     assert df["n_images"].sum() >= 70
 
 
+def test_media_input_memo_is_session_scoped(ray_session):
+    """The synthesized media inputs memoize MATERIALIZED per Ray session
+    (the stored-table stand-in): same sf -> the same dataset object; the
+    memo key carries the live job id so a fresh ray.init() can never be
+    served a dead session's object refs; stale-session keys are evicted."""
+    import ray as _ray
+
+    from owlcrawler_ray.pipelines import queries as Q
+
+    a = Q._images_input(SF)
+    b = Q._images_input(SF)
+    assert a is b
+    jid = _ray.get_runtime_context().get_job_id()
+    assert all(k[0] == jid for k in Q._MEDIA_INPUT_MEMO)
+    # a stale entry from a previous session is evicted on the next BUILD
+    # (a memo hit doesn't evict — force a build with a unique key)
+    Q._MEDIA_INPUT_MEMO[("dead-job", "images", "/nowhere", 1, 1)] = object()
+    import ray.data as _rd
+
+    Q._memo_media_input(("test-unique-evict",), lambda: _rd.range(1))
+    assert ("dead-job", "images", "/nowhere", 1, 1) not in Q._MEDIA_INPUT_MEMO
+    del Q._MEDIA_INPUT_MEMO[(jid, "test-unique-evict")]
+    # and the memoized input still yields the documented table shape
+    assert set(a.schema().names) == {
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+    }
+
+
 def test_images_rows_for_indices_matches_driver_table():
     import numpy as np
 
