@@ -175,6 +175,25 @@ def test_media_input_memo_is_session_scoped(ray_session):
     }
 
 
+def test_lsh_pair_cache_shares_but_standalone_stays_fresh(ray_session):
+    """The candidate stage is shared across the dedup DAG: the cached
+    accessor memoizes per session, while the standalone query entry
+    always computes fresh (its bench time is the true operator cost)
+    and REFRESHES the cache with its result."""
+    from owlcrawler_ray.pipelines import queries as Q
+
+    a = Q._lsh_pairs_cached(SF)
+    assert Q._lsh_pairs_cached(SF) is a  # memo hit
+    fresh = Q.q_minhash_lsh_pairs(SF)  # recompute + refresh
+    assert fresh is not a and fresh.equals(a)
+    assert Q._lsh_pairs_cached(SF) is fresh  # downstream sees the refresh
+    emb = Q._emb_pairs_cached(SF)
+    assert Q._emb_pairs_cached(SF) is emb
+    fresh_e = Q.q_embedding_near_dup(SF)
+    assert fresh_e is not emb and fresh_e.equals(emb)
+    assert Q._emb_pairs_cached(SF) is fresh_e
+
+
 def test_images_rows_for_indices_matches_driver_table():
     import numpy as np
 
@@ -815,7 +834,7 @@ def test_near_dup_dedup_no_candidates(ray_session, monkeypatch):
     from owlcrawler_ray.pipelines import queries as q
 
     monkeypatch.setattr(
-        q, "q_minhash_lsh_pairs",
+        q, "_lsh_pairs_cached",
         lambda sf_dir: pa.table({"doc_a": pa.array([], pa.int64()),
                                  "doc_b": pa.array([], pa.int64())}))
     sf = "/root/testdata/sf0.001"
