@@ -45,6 +45,75 @@ def simhash64(text: str) -> int:
     return int(np.int64(val))
 
 
+def simhash64_batch(texts) -> np.ndarray:
+    """Vectorized simhash64 over a whole Arrow string array — the batch
+    twin of simhash64 (bit-identity pinned by
+    tests/test_rows_only_ops.py::test_simhash_batch_matches_reference).
+    md5 runs once per BATCH-UNIQUE word (dictionary encode) instead of
+    once per (doc, unique-word), and the 64-lane vote tally is one numpy
+    scatter-add over (+count/-count) sign rows — no per-word 64-element
+    allocations. Returns signed int64 signatures, one per input row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    out = np.zeros(n_docs, dtype=np.int64)
+    words = pc.split_pattern(texts, " ")
+    flat = pc.list_flatten(words)
+    pos = pc.list_parent_indices(words).to_numpy().astype(np.int64)
+    keep = pc.not_equal(flat, "")
+    if isinstance(keep, pa.ChunkedArray):
+        keep = keep.combine_chunks()
+    mask = keep.to_numpy(zero_copy_only=False)
+    flat, pos = flat.filter(keep), pos[mask]
+    if len(pos) == 0:
+        return out
+    enc = flat.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    vocab = enc.dictionary
+    nv = len(vocab)
+    # (doc, word) counts without a hash table: unique over combined keys
+    uk, counts = np.unique(pos * nv + codes, return_counts=True)
+    udoc, ucode = uk // nv, uk % nv
+    # one md5 per batch-unique word; bits i = (h >> i) & 1 via unpackbits
+    # over the little-endian byte view (byte0 = least significant)
+    hbuf = b"".join(
+        hashlib.md5(w.encode()).digest()[:8] for w in vocab.to_pylist()
+    )
+    hbits = np.unpackbits(
+        np.frombuffer(hbuf, np.uint8).reshape(-1, 8), axis=1,
+        bitorder="little",
+    ).astype(np.int64)
+    signs = (2 * hbits - 1).astype(np.int8)  # (nv, 64): +1/-1 per bit
+    # segment-sum per doc: udoc is sorted (np.unique), so one buffered
+    # add.reduceat over run starts — NOT np.add.at, whose unbuffered
+    # scatter measured ~2 s alone on a 500k-pair batch. int8 gather +
+    # int32 product keep the (U, 64) intermediate 8x/2x smaller (the
+    # first-touch page faults on it dominated the int64 form); per-doc
+    # vote sums cannot overflow int32 within one Arrow batch (word
+    # instances per array < 2^31 by the int32 list-offset bound).
+    prod = counts.astype(np.int32)[:, None] * signs[ucode]  # (U, 64) i32
+    starts = np.nonzero(
+        np.concatenate([[True], udoc[1:] != udoc[:-1]])
+    )[0]
+    # contiguous segments -> cumsum at segment ends, then a boundary
+    # diff (np.add.reduceat on 2D measured ~10x slower: per-segment
+    # ufunc dispatch vs one vectorized pass; |cumsum| <= word instances
+    # < 2^31 so int32 cannot overflow)
+    cs = np.cumsum(prod, axis=0, dtype=np.int32)
+    ends = np.concatenate([starts[1:], [len(udoc)]])
+    votes = np.zeros((n_docs, 64), dtype=np.int32)
+    votes[udoc[starts]] = np.diff(
+        cs[ends - 1], axis=0, prepend=np.zeros((1, 64), np.int32)
+    )
+    packed = np.packbits(votes > 0, axis=1, bitorder="little")
+    return packed.view("<u8").ravel().astype(np.uint64).view(np.int64)
+
+
 _B = 1000003
 _M = (1 << 61) - 1
 

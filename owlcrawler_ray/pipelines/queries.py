@@ -1618,16 +1618,15 @@ def q_simhash_dedup(sf_dir: str):
     """SimHash near-dup: 64-bit signature per doc + banded bucketing.
     Returns (doc_id, simhash, band0..band3) — bands are the LSH routing
     key; pairs sharing any band are candidates (verified by hamming)."""
-    from ..functions.textops import simhash64
+    from ..functions.textops import simhash64_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sig(batch: pa.Table) -> pa.Table:
-        ids_l = batch.column("doc_id").to_pylist()
-        sh = [simhash64(t) for t in batch.column("text").to_pylist()]
-        arr = np.array(sh, dtype=np.int64).view(np.uint64)
-        out = {"doc_id": pa.array(ids_l, pa.int64()),
-               "simhash": pa.array(np.array(sh, dtype=np.int64))}
+        sh = simhash64_batch(batch.column("text"))
+        arr = sh.view(np.uint64)
+        out = {"doc_id": batch.column("doc_id"),
+               "simhash": pa.array(sh)}
         for b in range(4):
             out[f"band{b}"] = pa.array(
                 ((arr >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)

@@ -28,6 +28,30 @@ def test_simhash_properties():
     assert simhash64("") == 0
 
 
+def test_simhash_batch_matches_reference():
+    """simhash64_batch must be BIT-IDENTICAL to the per-doc reference
+    (the dedup query's SQL oracle embeds per-doc values), including
+    empty docs, repeated words, multi-space runs and unicode."""
+    import pyarrow as pa
+
+    from owlcrawler_ray.functions.textops import simhash64, simhash64_batch
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "",
+        " ",
+        "solo",
+        "a a a a b",
+        "  double  spaces   and\ttabs stay one token",
+        "naïve café über 北京 déjà-vu",
+        "x " * 500,
+    ]
+    got = simhash64_batch(pa.array(texts, pa.string()))
+    want = [simhash64(t) for t in texts]
+    assert got.tolist() == want
+
+
 def test_fingerprints_rolling_consistency():
     text = " ".join(f"w{i}" for i in range(20))
     fps = fingerprints(text, window=8)
