@@ -1970,19 +1970,23 @@ def q_images_phash_pairs(sf_dir: str):
 
     def bands(batch: pa.Table) -> pa.Table:
         ph = batch.column("phash").to_numpy().view(np.uint64)
-        ids_l = batch.column("image_id").to_pylist()
-        out_id, out_key, out_ph = [], [], []
-        for i, pid in enumerate(ids_l):
-            for b in range(4):
-                key = int((ph[i] >> np.uint64(16 * b)) & np.uint64(0xFFFF))
-                out_id.append(pid)
-                out_key.append(f"{b}|{key}")
-                out_ph.append(int(np.int64(ph[i])))
+        n = len(ph)
+        # (n, 4) band keys in one shift, then "b|key" via the Arrow join
+        # kernel — row order (image, band) identical to the former loop
+        keys = ((ph[:, None] >> (np.uint64(16) * np.arange(4, dtype=np.uint64)))
+                & np.uint64(0xFFFF)).astype(np.int64)
+        bucket = pc.binary_join_element_wise(
+            pc.cast(pa.array(np.tile(np.arange(4, dtype=np.int64), n)),
+                    pa.string()),
+            pc.cast(pa.array(keys.ravel()), pa.string()),
+            "|",
+        )
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), 4))
         return pa.table(
             {
-                "image_id": pa.array(out_id, pa.string()),
-                "bucket": pa.array(out_key, pa.string()),
-                "phash": pa.array(out_ph, pa.int64()),
+                "image_id": pc.take(batch.column("image_id"), rep),
+                "bucket": bucket,
+                "phash": pa.array(np.repeat(ph.view(np.int64), 4)),
             }
         )
 
@@ -2620,16 +2624,20 @@ _BPE_RE = re.compile(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")
 
 def q_bpe_tokens(sf_dir: str):
     """Token counting with a BPE-ish pretokenizer regex (word chunks +
-    standalone punctuation) — compiled once per worker (module level)."""
+    standalone punctuation) via Arrow's RE2 count kernel — one vectorized
+    pass, no per-doc findall allocation. The two alternatives are
+    disjoint character classes, so RE2 and Python `re` count identical
+    non-overlapping matches (and the DuckDB oracle is RE2 too)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def count(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "n_bpe_tokens": pa.array(
-                    [len(_BPE_RE.findall(t))
-                     for t in batch.column("text").to_pylist()],
+                "n_bpe_tokens": pc.cast(
+                    pc.count_substring_regex(
+                        batch.column("text"), pattern=_BPE_RE.pattern
+                    ),
                     pa.int64(),
                 ),
             }
