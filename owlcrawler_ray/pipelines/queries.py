@@ -2945,17 +2945,13 @@ def _bigram_halves(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        grams, halves = [], []
-        for did, text in zip(batch.column("doc_id").to_pylist(),
-                             batch.column("text").to_pylist()):
-            ws = text.split(" ")
-            h = 1 if did >= 250 else 0
-            for i in range(len(ws) - 1):
-                grams.append(ws[i] + " " + ws[i + 1])
-                halves.append(h)
+        # shared Arrow n-gram kernel (split_pattern keeps empty words,
+        # identical to the former per-row text.split(" ") loop)
+        pos, grams, _ = _word_ngrams(batch.column("text"), 2)
+        ids = batch.column("doc_id").to_numpy()
         t = pa.table(
-            {"bigram": pa.array(grams, pa.string()),
-             "half": pa.array(halves, pa.int64())}
+            {"bigram": grams,
+             "half": pa.array((ids[pos] >= 250).astype(np.int64))}
         )
         return (
             t.group_by("bigram").aggregate([("half", "min"), ("half", "max")])
