@@ -150,6 +150,115 @@ def min_fingerprint(text: str, window: int = 8) -> int:
     return min(fps) if fps else -1
 
 
+def _mersenne_fold(x: np.ndarray) -> np.ndarray:
+    """One fold of x (uint64) toward its residue mod 2^61-1:
+    q*2^61 + r ≡ q + r. Output < 2^61 + (x >> 61)'s max — callers fold
+    twice then subtract the single possible remaining M."""
+    m = np.uint64(_M)
+    return (x >> np.uint64(61)) + (x & m)
+
+
+def _modmul_const(a: np.ndarray, c: int) -> np.ndarray:
+    """(a * c) mod 2^61-1 for a uint64 array (< M) and a constant c < M,
+    without 128-bit ints: split both into 31/30-bit halves; every partial
+    product and carry stays under 2^64, and each power-of-two factor
+    reduces via the Mersenne identity 2^61 ≡ 1."""
+    m = np.uint64(_M)
+    a1, a0 = a >> np.uint64(31), a & np.uint64(0x7FFFFFFF)
+    c1, c0 = c >> 31, c & 0x7FFFFFFF
+    # a1*c1 * 2^62 ≡ a1*c1 * 2   (a1*c1 < 2^60, doubled < 2^61)
+    r = _mersenne_fold(a1 * np.uint64(c1) << np.uint64(1))
+    # (a1*c0 + a0*c1) * 2^31: fold the sum, then u1*2^61 + u0*2^31
+    t1 = _mersenne_fold(a1 * np.uint64(c0) + a0 * np.uint64(c1))
+    r += (t1 >> np.uint64(30)) + ((t1 & np.uint64(0x3FFFFFFF))
+                                  << np.uint64(31))
+    r += _mersenne_fold(a0 * np.uint64(c0))
+    r = _mersenne_fold(_mersenne_fold(r))
+    return np.where(r >= m, r - m, r)
+
+
+def min_fingerprint_batch(texts, window: int = 8) -> np.ndarray:
+    """Vectorized min_fingerprint over a whole Arrow string array — the
+    batch twin of min_fingerprint (bit-identity pinned by
+    tests/test_rows_only_ops.py::test_min_fingerprint_batch_matches_reference).
+    md5 runs once per BATCH-unique word (dictionary encode) instead of
+    once per word instance, and every window hash is the direct
+    polynomial sum_k h[i+k] * B^(w-1-k) mod M — mathematically equal to
+    the reference's rolling recurrence — evaluated as `window` fused
+    multiply-accumulate passes over the flat word-hash array in exact
+    Mersenne-mod uint64 arithmetic. Returns int64; empty docs -> -1."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    out = np.full(n_docs, -1, dtype=np.int64)
+    words = pc.split_pattern(texts, " ")
+    flat = pc.list_flatten(words)
+    pos = pc.list_parent_indices(words).to_numpy().astype(np.int64)
+    keep = pc.not_equal(flat, "")
+    if isinstance(keep, pa.ChunkedArray):
+        keep = keep.combine_chunks()
+    mask = keep.to_numpy(zero_copy_only=False)
+    flat, pos = flat.filter(keep), pos[mask]
+    if len(pos) == 0:
+        return out
+    enc = flat.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    uh = np.frombuffer(
+        b"".join(hashlib.md5(w.encode()).digest()[:8]
+                 for w in enc.dictionary.to_pylist()),
+        dtype="<u8",
+    )
+    uh = _mersenne_fold(_mersenne_fold(uh))  # full 64 -> 61-bit reduction
+    uh = np.where(uh >= np.uint64(_M), uh - np.uint64(_M), uh)
+    h = uh[codes]  # flat per-instance word hashes, doc-major order
+    counts = np.bincount(pos, minlength=n_docs)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    m = np.uint64(_M)
+
+    # long docs (n > window): every in-doc window start is a flat
+    # position p with pos_in_doc(p) <= count - window
+    pows = [pow(_B, window - 1 - k, _M) for k in range(window)]
+    total = len(h)
+    if total >= window:
+        nwin = total - window + 1
+        acc = np.zeros(nwin, dtype=np.uint64)
+        for k in range(window):
+            acc = _mersenne_fold(acc + _modmul_const(h[k:k + nwin], pows[k]))
+        acc = np.where(acc >= m, acc - m, acc)
+        pin = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], counts)
+        row_of = pos[:nwin]
+        valid = pin[:nwin] <= counts[row_of] - window
+        vwin, vrow = acc[valid], row_of[valid]
+        if len(vwin):
+            # vrow is sorted (doc-major) -> one segment-min reduceat
+            starts = np.nonzero(
+                np.concatenate([[True], vrow[1:] != vrow[:-1]])
+            )[0]
+            out[vrow[starts]] = np.minimum.reduceat(
+                vwin, starts).astype(np.int64)
+
+    # short docs (1 <= n <= window): one fold over all n words; group by
+    # n so each group is one vectorized polynomial of its own degree
+    for n in range(1, window + 1):
+        docs = np.nonzero(counts == n)[0]
+        if not len(docs):
+            continue
+        gather = (offs[docs][:, None] + np.arange(n)).ravel()
+        hs = h[gather].reshape(len(docs), n)
+        acc = np.zeros(len(docs), dtype=np.uint64)
+        for k in range(n):
+            acc = _mersenne_fold(
+                acc + _modmul_const(hs[:, k], pow(_B, n - 1 - k, _M)))
+        acc = np.where(acc >= m, acc - m, acc)
+        out[docs] = acc.astype(np.int64)
+    return out
+
+
 def predict_lang(text: str) -> str:
     """Stopword/CJK-ratio language heuristic. On word-salad synthetic text
     this degrades to 'unknown' — the honest answer; the pipeline shape

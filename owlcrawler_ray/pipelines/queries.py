@@ -1637,8 +1637,11 @@ def q_simhash_dedup(sf_dir: str):
 
 
 def q_doc_fingerprints(sf_dir: str):
-    """Rolling-hash document fingerprint (min-of-windows, window=8 words)."""
-    from ..functions.textops import min_fingerprint
+    """Rolling-hash document fingerprint (min-of-windows, window=8 words),
+    one vectorized batch kernel (md5 per batch-unique word + exact
+    Mersenne-mod polynomial windows; bit-identity with the per-doc
+    reference is test-pinned)."""
+    from ..functions.textops import min_fingerprint_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -1647,9 +1650,7 @@ def q_doc_fingerprints(sf_dir: str):
             {
                 "doc_id": batch.column("doc_id"),
                 "fingerprint": pa.array(
-                    [min_fingerprint(t) for t in batch.column("text").to_pylist()],
-                    pa.int64(),
-                ),
+                    min_fingerprint_batch(batch.column("text"))),
             }
         )
 

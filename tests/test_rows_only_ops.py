@@ -52,6 +52,37 @@ def test_simhash_batch_matches_reference():
     assert got.tolist() == want
 
 
+def test_min_fingerprint_batch_matches_reference():
+    """min_fingerprint_batch must be BIT-IDENTICAL to the per-doc
+    reference (the doc_fingerprints SQL oracle replicates the rolling
+    hash value-for-value), across empty docs, short docs at every
+    length up to the window, the exact-window boundary, and unicode."""
+    import random
+
+    import pyarrow as pa
+
+    from owlcrawler_ray.functions.textops import (
+        min_fingerprint,
+        min_fingerprint_batch,
+    )
+
+    texts = [
+        "", " ", "solo", "a b",
+        "one two three four five six seven",          # n = window - 1
+        "one two three four five six seven eight",    # n = window
+        "one two three four five six seven eight 9",  # n = window + 1
+        "  double  spaces   everywhere  ",
+        "naïve café über 北京 déjà-vu more words here and there ok",
+        "a " * 100,
+    ]
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    texts += [" ".join(rng.choice(vocab) for _ in range(rng.randrange(30)))
+              for _ in range(200)]
+    got = min_fingerprint_batch(pa.array(texts, pa.string()))
+    assert got.tolist() == [min_fingerprint(t) for t in texts]
+
+
 def test_fingerprints_rolling_consistency():
     text = " ".join(f"w{i}" for i in range(20))
     fps = fingerprints(text, window=8)
