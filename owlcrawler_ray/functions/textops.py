@@ -282,14 +282,21 @@ def predict_lang(text: str) -> str:
     return best if best_score >= 0.05 else "unknown"
 
 
+# 256-entry per-byte popcount table: hamming64_many does ONE LUT gather
+# over the uint8 view + a row sum instead of 64 shift/mask passes
+_POPCOUNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+
+
 def hamming64_many(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Vectorized hamming distance between two int64 arrays."""
     x = (a.astype(np.int64).view(np.uint64)) ^ (b.astype(np.int64).view(np.uint64))
-    cnt = np.zeros(len(x), dtype=np.int64)
-    for _ in range(64):
-        cnt += (x & np.uint64(1)).astype(np.int64)
-        x >>= np.uint64(1)
-    return cnt
+    if not len(x):
+        return np.zeros(0, dtype=np.int64)
+    return (
+        _POPCOUNT8[np.ascontiguousarray(x).view(np.uint8)]
+        .reshape(len(x), 8).sum(axis=1).astype(np.int64)
+    )
 
 
 _PRE_TAG = "_-_strong_-_"

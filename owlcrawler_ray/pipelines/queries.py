@@ -2589,11 +2589,14 @@ def q_search_highlights(sf_dir: str):
 
     def frags(batch: pa.Table) -> pa.Table:
         wanted = ray.get(ids_ref)
+        # vectorized membership prune FIRST: the Python fragment loop
+        # below touches only the <= k hit docs, never the corpus rows
+        batch = batch.filter(
+            pc.is_in(batch.column("doc_id"),
+                     value_set=pa.array(list(wanted), pa.int64())))
         out_id, out_rank, out_score, out_frag = [], [], [], []
         for did, text in zip(batch.column("doc_id").to_pylist(),
                              batch.column("text").to_pylist()):
-            if did not in wanted:
-                continue
             for fr, (fscore, _start, frag) in enumerate(
                 es_fragments(text, SEARCH_PHRASE)
             ):
