@@ -45,21 +45,20 @@ def simhash64(text: str) -> int:
     return int(np.int64(val))
 
 
-def simhash64_batch(texts) -> np.ndarray:
-    """Vectorized simhash64 over a whole Arrow string array — the batch
-    twin of simhash64 (bit-identity pinned by
-    tests/test_rows_only_ops.py::test_simhash_batch_matches_reference).
-    md5 runs once per BATCH-UNIQUE word (dictionary encode) instead of
-    once per (doc, unique-word), and the 64-lane vote tally is one numpy
-    scatter-add over (+count/-count) sign rows — no per-word 64-element
-    allocations. Returns signed int64 signatures, one per input row."""
+def _tokenize_md5(texts):
+    """Shared batch tokenize prologue for the vectorized text kernels
+    (simhash64_batch, min_fingerprint_batch): whitespace-split the whole
+    Arrow string array, drop empty words, dictionary-encode, and md5 each
+    BATCH-unique word once. Returns (n_docs, pos, codes, md5_bytes):
+    pos/codes are int64 arrays in doc-major order; md5_bytes is the
+    (nv, 8) uint8 array of each vocab word's first 8 digest bytes
+    (little-endian significance, contiguous — viewable as '<u8')."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     n_docs = len(texts)
-    out = np.zeros(n_docs, dtype=np.int64)
     words = pc.split_pattern(texts, " ")
     flat = pc.list_flatten(words)
     pos = pc.list_parent_indices(words).to_numpy().astype(np.int64)
@@ -69,25 +68,38 @@ def simhash64_batch(texts) -> np.ndarray:
     mask = keep.to_numpy(zero_copy_only=False)
     flat, pos = flat.filter(keep), pos[mask]
     if len(pos) == 0:
-        return out
+        return n_docs, pos, np.zeros(0, np.int64), np.zeros((0, 8), np.uint8)
     enc = flat.dictionary_encode()
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
     codes = enc.indices.to_numpy().astype(np.int64)
-    vocab = enc.dictionary
-    nv = len(vocab)
+    md5b = np.frombuffer(
+        b"".join(hashlib.md5(w.encode()).digest()[:8]
+                 for w in enc.dictionary.to_pylist()),
+        dtype=np.uint8,
+    ).reshape(-1, 8)
+    return n_docs, pos, codes, md5b
+
+
+def simhash64_batch(texts) -> np.ndarray:
+    """Vectorized simhash64 over a whole Arrow string array — the batch
+    twin of simhash64 (bit-identity pinned by
+    tests/test_rows_only_ops.py::test_simhash_batch_matches_reference).
+    md5 runs once per BATCH-UNIQUE word (dictionary encode) instead of
+    once per (doc, unique-word), and the 64-lane vote tally is one numpy
+    scatter-add over (+count/-count) sign rows — no per-word 64-element
+    allocations. Returns signed int64 signatures, one per input row."""
+    n_docs, pos, codes, md5b = _tokenize_md5(texts)
+    out = np.zeros(n_docs, dtype=np.int64)
+    if len(pos) == 0:
+        return out
+    nv = len(md5b)
     # (doc, word) counts without a hash table: unique over combined keys
     uk, counts = np.unique(pos * nv + codes, return_counts=True)
     udoc, ucode = uk // nv, uk % nv
-    # one md5 per batch-unique word; bits i = (h >> i) & 1 via unpackbits
-    # over the little-endian byte view (byte0 = least significant)
-    hbuf = b"".join(
-        hashlib.md5(w.encode()).digest()[:8] for w in vocab.to_pylist()
-    )
-    hbits = np.unpackbits(
-        np.frombuffer(hbuf, np.uint8).reshape(-1, 8), axis=1,
-        bitorder="little",
-    ).astype(np.int64)
+    # bits i = (h >> i) & 1 via unpackbits over the little-endian byte
+    # view (byte0 = least significant)
+    hbits = np.unpackbits(md5b, axis=1, bitorder="little").astype(np.int64)
     signs = (2 * hbits - 1).astype(np.int8)  # (nv, 64): +1/-1 per bit
     # segment-sum per doc: udoc is sorted (np.unique), so one buffered
     # add.reduceat over run starts — NOT np.add.at, whose unbuffered
@@ -187,32 +199,11 @@ def min_fingerprint_batch(texts, window: int = 8) -> np.ndarray:
     the reference's rolling recurrence — evaluated as `window` fused
     multiply-accumulate passes over the flat word-hash array in exact
     Mersenne-mod uint64 arithmetic. Returns int64; empty docs -> -1."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    n_docs = len(texts)
+    n_docs, pos, codes, md5b = _tokenize_md5(texts)
     out = np.full(n_docs, -1, dtype=np.int64)
-    words = pc.split_pattern(texts, " ")
-    flat = pc.list_flatten(words)
-    pos = pc.list_parent_indices(words).to_numpy().astype(np.int64)
-    keep = pc.not_equal(flat, "")
-    if isinstance(keep, pa.ChunkedArray):
-        keep = keep.combine_chunks()
-    mask = keep.to_numpy(zero_copy_only=False)
-    flat, pos = flat.filter(keep), pos[mask]
     if len(pos) == 0:
         return out
-    enc = flat.dictionary_encode()
-    if isinstance(enc, pa.ChunkedArray):
-        enc = enc.combine_chunks()
-    codes = enc.indices.to_numpy().astype(np.int64)
-    uh = np.frombuffer(
-        b"".join(hashlib.md5(w.encode()).digest()[:8]
-                 for w in enc.dictionary.to_pylist()),
-        dtype="<u8",
-    )
+    uh = md5b.view("<u8").ravel()
     uh = _mersenne_fold(_mersenne_fold(uh))  # full 64 -> 61-bit reduction
     uh = np.where(uh >= np.uint64(_M), uh - np.uint64(_M), uh)
     h = uh[codes]  # flat per-instance word hashes, doc-major order
@@ -242,9 +233,12 @@ def min_fingerprint_batch(texts, window: int = 8) -> np.ndarray:
             out[vrow[starts]] = np.minimum.reduceat(
                 vwin, starts).astype(np.int64)
 
-    # short docs (1 <= n <= window): one fold over all n words; group by
-    # n so each group is one vectorized polynomial of its own degree
-    for n in range(1, window + 1):
+    # short docs (1 <= n < window): one fold over all n words; group by
+    # n so each group is one vectorized polynomial of its own degree.
+    # n == window is excluded: those docs' single valid window is already
+    # emitted by the long-docs branch when total >= window, and when
+    # total < window no doc can hold `window` words at all.
+    for n in range(1, window):
         docs = np.nonzero(counts == n)[0]
         if not len(docs):
             continue

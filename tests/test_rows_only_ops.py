@@ -215,15 +215,15 @@ def test_media_input_memo_is_session_scoped(ray_session):
     b = Q._images_input(SF)
     assert a is b
     jid = _ray.get_runtime_context().get_job_id()
-    assert all(k[0] == jid for k in Q._MEDIA_INPUT_MEMO)
+    assert all(k[0] == jid for k in Q._SESSION_MEMO)
     # a stale entry from a previous session is evicted on the next BUILD
     # (a memo hit doesn't evict — force a build with a unique key)
-    Q._MEDIA_INPUT_MEMO[("dead-job", "images", "/nowhere", 1, 1)] = object()
+    Q._SESSION_MEMO[("dead-job", "images", "/nowhere", 1, 1)] = object()
     import ray.data as _rd
 
     Q._memo_media_input(("test-unique-evict",), lambda: _rd.range(1))
-    assert ("dead-job", "images", "/nowhere", 1, 1) not in Q._MEDIA_INPUT_MEMO
-    del Q._MEDIA_INPUT_MEMO[(jid, "test-unique-evict")]
+    assert ("dead-job", "images", "/nowhere", 1, 1) not in Q._SESSION_MEMO
+    del Q._SESSION_MEMO[(jid, "test-unique-evict")]
     # and the memoized input still yields the documented table shape
     assert set(a.schema().names) == {
         "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
