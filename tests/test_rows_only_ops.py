@@ -249,6 +249,29 @@ def test_lsh_pair_cache_shares_but_standalone_stays_fresh(ray_session):
     assert Q._emb_pairs_cached(SF) is fresh_e
 
 
+def test_pair_cache_invalidates_on_regenerated_parquet(ray_session, tmp_path):
+    """The pair caches key on a content stamp of the input parquet —
+    regenerating the file at the SAME path within one session must yield
+    a recompute, never a stale table (review finding r5 cont. 2)."""
+    import os
+    import shutil
+
+    from owlcrawler_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    for t in ("documents", "embeddings"):
+        shutil.copy(f"{sf}/{t}.parquet", tmp_path / f"{t}.parquet")
+    d = str(tmp_path)
+    a = Q._lsh_pairs_cached(d)
+    assert Q._lsh_pairs_cached(d) is a  # memo hit on unchanged file
+    # simulate a regenerated file: same path, new mtime
+    st = os.stat(tmp_path / "documents.parquet")
+    os.utime(tmp_path / "documents.parquet", ns=(st.st_atime_ns,
+                                                 st.st_mtime_ns + 1))
+    b = Q._lsh_pairs_cached(d)
+    assert b is not a and b.equals(a)  # recomputed, same content
+
+
 def test_images_rows_for_indices_matches_driver_table():
     import numpy as np
 
