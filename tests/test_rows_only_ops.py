@@ -50,6 +50,18 @@ def test_simhash_batch_matches_reference():
     got = simhash64_batch(pa.array(texts, pa.string()))
     want = [simhash64(t) for t in texts]
     assert got.tolist() == want
+    # Arrow nulls behave as empty docs (split_pattern propagates null,
+    # list_parent_indices skips them) — pin it
+    from owlcrawler_ray.functions.textops import (
+        min_fingerprint,
+        min_fingerprint_batch,
+    )
+
+    nul = pa.array(["hello world foo", None, "", "a b c"], pa.string())
+    assert simhash64_batch(nul).tolist() == [
+        simhash64(t or "") for t in nul.to_pylist()]
+    assert min_fingerprint_batch(nul).tolist() == [
+        min_fingerprint(t or "") for t in nul.to_pylist()]
 
 
 def test_min_fingerprint_batch_matches_reference():
