@@ -777,6 +777,40 @@ def test_sig_batch_matches_reference():
         )
 
 
+def test_batch_text_kernels_property_match_references():
+    """simhash64_batch and min_fingerprint_batch must be BIT-IDENTICAL to
+    the scalar references for ARBITRARY batches — whitespace runs,
+    unicode, repeated words, doc lengths straddling the rolling-hash
+    window (8 words), nulls, and all-empty batches. Derandomized so the
+    pin is reproducible."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import pyarrow as pa
+
+    from owlcrawler_ray.functions.textops import (
+        min_fingerprint,
+        min_fingerprint_batch,
+        simhash64,
+        simhash64_batch,
+    )
+
+    word = st.text(alphabet="ab é北", min_size=0, max_size=3)
+    # doc lengths 0..10 straddle the window-8 boundary legs
+    doc = st.lists(word, min_size=0, max_size=10).map(" ".join)
+    row = st.one_of(st.none(), doc)
+
+    @settings(max_examples=120, deadline=None, derandomize=True)
+    @given(st.lists(row, min_size=0, max_size=8))
+    def check(texts):
+        arr = pa.array(texts, pa.string())
+        assert simhash64_batch(arr).tolist() == [
+            simhash64(t or "") for t in texts]
+        assert min_fingerprint_batch(arr).tolist() == [
+            min_fingerprint(t or "") for t in texts]
+
+    check()
+
+
 def test_word_ngrams_property_matches_naive():
     """_word_ngrams (the shared Arrow n-gram kernel under minhash,
     decontamination and the repetition filter) must equal the naive
