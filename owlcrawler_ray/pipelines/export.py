@@ -116,19 +116,33 @@ def export_pages(crawl_out: str, export_root: str, n_buckets: int = 8,
         for b in todo:
             table_store.commit_round(export_root, _bucket_name(b), 0)
 
-    rows_b, rows_n = [], []
-    for b in range(n_buckets):
-        t = table_store.read_all_arrow(export_root, _bucket_name(b))
-        rows_b.append(b)
-        rows_n.append(t.num_rows)
-    return pa.table(
-        {"bucket": pa.array(rows_b, pa.int64()),
-         "n_docs": pa.array(rows_n, pa.int64())}
-    )
+    return _bucket_counts(export_root, n_buckets)
 
 
 def _bucket_name(b: int) -> str:
     return f"bucket={b:04d}"
+
+
+def _bucket_counts(root: str, n_buckets: int) -> pa.Table:
+    """(bucket, n_docs) read back from the committed output — the on-disk
+    truth, via part FOOTER metadata only (parquet footers / lance
+    manifests). The previous form pulled every bucket's full table
+    (including text payloads) onto the driver just to count rows — an
+    O(corpus) driver materialization at 10^10 docs; footer counts are
+    O(parts) tiny reads. An uncommitted/empty bucket counts 0, matching
+    the empty-table read it replaced."""
+    rows_b = list(range(n_buckets))
+    rows_n = [
+        sum(
+            table_store.round_num_rows(root, _bucket_name(b), r)
+            for r in table_store.list_rounds(root, _bucket_name(b))
+        )
+        for b in rows_b
+    ]
+    return pa.table(
+        {"bucket": pa.array(rows_b, pa.int64()),
+         "n_docs": pa.array(rows_n, pa.int64())}
+    )
 
 
 def export_corpus(sf_dir: str, out_root: str, n_buckets: int = 16) -> pa.Table:
@@ -215,12 +229,4 @@ def export_corpus(sf_dir: str, out_root: str, n_buckets: int = 16) -> pa.Table:
         for b in todo:
             table_store.commit_round(out_root, _bucket_name(b), 0)
 
-    rows_b, rows_n = [], []
-    for b in range(n_buckets):
-        t = table_store.read_all_arrow(out_root, _bucket_name(b))
-        rows_b.append(b)
-        rows_n.append(t.num_rows)
-    return pa.table(
-        {"bucket": pa.array(rows_b, pa.int64()),
-         "n_docs": pa.array(rows_n, pa.int64())}
-    )
+    return _bucket_counts(out_root, n_buckets)

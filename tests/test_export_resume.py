@@ -98,3 +98,23 @@ def test_export_pages_matches_serial_oracle(ray_session, tmp_path):
     again = export_pages(f"{base}/out", f"{base}/export", n_buckets=4,
                          min_chars=50)
     assert again.equals(got)
+
+
+def test_export_readback_is_metadata_only(ray_session, tmp_path,
+                                          monkeypatch):
+    """The (bucket, n_docs) read-back must come from part FOOTER metadata
+    (round_num_rows), never a full-table driver read — at 10^10 docs the
+    old read_all_arrow form pulled the whole corpus (text payloads
+    included) onto the driver just to count rows. Pin it: with
+    read_all_arrow forbidden, a resume-no-op export still reports the
+    exact committed counts."""
+    root = str(tmp_path / "metaonly")
+    first = export_corpus(SF, root, n_buckets=4)
+
+    def boom(*a, **k):  # any driver-side full read is a regression
+        raise AssertionError("export read-back must not read row data")
+
+    monkeypatch.setattr(table_store, "read_all_arrow", boom)
+    again = export_corpus(SF, root, n_buckets=4)
+    assert again.equals(first)
+    assert sum(again.column("n_docs").to_pylist()) > 0
