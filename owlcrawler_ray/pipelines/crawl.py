@@ -96,6 +96,10 @@ class CrawlConfig:
     seen_max_mem_urls: int = 1 << 20
     politeness: PolitenessConfig = field(default_factory=PolitenessConfig)
     checkpoint_every: int = 1
+    # checkpoint retention: keep only the newest N committed rounds (each
+    # is a FULL frontier+seen snapshot — O(rounds x |seen|) disk without a
+    # bound). Execution knob (not in fingerprint); 0 = keep all.
+    ckpt_keep: int = 8
     write_images: bool = True
     keep_logs: bool = True  # in-memory attempt/fetch logs (tests/parity)
     # actor-pool stages (class + concurrency) are the shape a real
@@ -949,6 +953,9 @@ class Crawler:
             "politeness": self.gate.state(),
         }
         self.ckpt.save(self.round_id, fr, sn, manifest)
+        pruned = self.ckpt.prune_old(self.cfg.ckpt_keep)
+        if pruned:
+            self.metrics.setdefault("ckpt_pruned", []).extend(pruned)
 
     def _restore(self) -> bool:
         latest = self.ckpt.latest_round()

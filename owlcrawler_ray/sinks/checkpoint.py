@@ -72,6 +72,46 @@ class CheckpointManager:
                 continue  # partial/corrupt round: not committed
         return best
 
+    def prune_old(self, keep: int) -> list[int]:
+        """Delete committed checkpoint rounds older than the newest ``keep``
+        (plus any stray ``.tmp`` dirs below them). Each round holds a FULL
+        frontier + seen snapshot, so without retention a long crawl's
+        checkpoint dir grows O(rounds x |seen|) — at 10^10 URLs that is the
+        disk bound, not the output tables. ``keep`` >= 2 preserves the
+        multi-round fallback _restore relies on when the newest manifest is
+        lost mid-write. Uncommitted dirs (no parsable manifest) are never
+        counted toward ``keep`` but are swept when older than the cutoff.
+        Returns the pruned round ids."""
+        if keep <= 0 or not os.path.isdir(self.root):
+            return []
+        committed = []
+        for name in os.listdir(self.root):
+            if not name.startswith("round=") or name.endswith(".tmp"):
+                continue
+            try:
+                with open(os.path.join(self.root, name, "manifest.json")) as f:
+                    committed.append(int(json.load(f)["round"]))
+            except (OSError, ValueError, KeyError):
+                continue
+        committed.sort()
+        if len(committed) <= keep:
+            return []
+        cutoff = committed[-keep]  # newest `keep` survive
+        pruned = []
+        for name in os.listdir(self.root):
+            if not name.startswith("round="):
+                continue
+            try:
+                rid = int(name.split("=")[1].split(".")[0])
+            except ValueError:
+                continue
+            if rid < cutoff:
+                shutil.rmtree(os.path.join(self.root, name),
+                              ignore_errors=True)
+                if not name.endswith(".tmp"):
+                    pruned.append(rid)
+        return sorted(pruned)
+
     def load(self, round_id: int) -> tuple[list[pa.Table], list[pa.Table], dict]:
         d = self._dir(round_id)
         with open(os.path.join(d, "manifest.json")) as f:

@@ -243,3 +243,43 @@ def test_stamps_cache_invalidates_on_rewrite(tmp_path):
     assert got2.column("tick").to_pylist() == [2]
     # and the memo still works for an UNCHANGED file
     assert _read_stamps(table_store.WRITER.name, (p,)) is got2
+
+
+def test_ckpt_retention_bounds_disk_and_resume_survives(ray_session,
+                                                        tmp_path):
+    """ckpt_keep=2: only the newest 2 committed checkpoint rounds survive
+    a crawl (each is a full frontier+seen snapshot — unbounded retention
+    is O(rounds x |seen|) disk at scale), and a kill+resume through the
+    retained window still reproduces the uninterrupted run row-for-row."""
+    import os
+
+    full_base = str(tmp_path / "retfull")
+    base = str(tmp_path / "ret")
+    c_full, _ = run_crawl(_cfg(full_base))
+    full = _rows(c_full)
+    c_full.shutdown()
+
+    c1, s1 = run_crawl(_cfg(base, budget_per_round=5, max_ticks=15,
+                            ckpt_keep=2))
+    c1.shutdown()
+    ckpt_root = f"{base}/ckpt"
+    rounds = sorted(
+        int(d.split("=")[1]) for d in os.listdir(ckpt_root)
+        if d.startswith("round=") and not d.endswith(".tmp")
+    )
+    assert len(rounds) == 2  # retention enforced
+    assert c1.metrics.get("ckpt_pruned")  # older rounds were swept
+    # the pruned ids + survivors partition the full round history
+    assert sorted(c1.metrics["ckpt_pruned"] + rounds) == list(
+        range(rounds[0] - len(c1.metrics["ckpt_pruned"]), rounds[-1] + 1)
+    )
+
+    c2, s2 = run_crawl(_cfg(base, budget_per_round=5, ckpt_keep=2),
+                       resume=True)
+    resumed = _rows(c2)
+    c2.shutdown()
+    assert s2["fetched"] == len(full[0])
+    for got, want, name in zip(resumed, full, ("pages", "attempts", "images")):
+        assert len(got) == len(want), name
+        for g, w in zip(got, want):
+            assert g == w, name
