@@ -322,6 +322,12 @@ def _slice_tables(tbl: pa.Table, n_blocks: int) -> list[pa.Table]:
     return [tbl.slice(i, step) for i in range(0, n, step)] or [tbl]
 
 
+# seen-checkpoint chain compaction threshold: a shard whose delta chain
+# reaches this many files rewrites it as one full snapshot on the next
+# checkpoint (LSM compaction — bounds restore reads and link fan-out)
+_CKPT_CHAIN_MAX = 64
+
+
 class Crawler:
     def __init__(self, cfg: CrawlConfig, resume: bool = False):
         if cfg.mode == "polite" and (
@@ -340,6 +346,10 @@ class Crawler:
         self.cfg = cfg
         self.web = SyntheticWeb(cfg.web)
         self.ckpt = CheckpointManager(cfg.ckpt_dir)
+        # incremental seen-checkpoint chain: per-shard file lists of the
+        # last committed round ({} until the first commit or restore)
+        self._seen_chain: dict[str, list[str]] = {}
+        self._last_ckpt_round: int = -1
         seen_cls = ray.remote(num_cpus=0)(SeenShard)
         frontier_cls = ray.remote(num_cpus=0)(FrontierShard)
         spill = (
@@ -935,8 +945,46 @@ class Crawler:
 
     # ------------------------------------------------------------------
     def _checkpoint(self) -> None:
+        """Incremental checkpoint: frontier shards snapshot driver-side
+        (O(queued) — the live working set), but the seen set goes through
+        the delta-chain protocol — each SeenShard actor writes ONLY the
+        urls it gained since the last acked checkpoint (SeenShard.
+        ckpt_write), prior chain files are hardlinked forward so every
+        round dir is self-contained, and the manifest's commit is what
+        lets the shards drop their pending buffers (ckpt_ack). Per-round
+        cost is O(progress), not O(|seen|), and the seen bytes never
+        transit the driver."""
+        import pyarrow.parquet as pq
+
         fr = ray.get([f.snapshot.remote() for f in self.frontier])
-        sn = ray.get([s.snapshot.remote() for s in self.seen])
+        tmp = self.ckpt.begin(self.round_id)
+        for i, t in enumerate(fr):
+            pq.write_table(
+                t, os.path.join(tmp, f"frontier_shard_{i:04d}.parquet")
+            )
+        prev_chain = self._seen_chain or {}
+        # LSM-style compaction: past _CKPT_CHAIN_MAX files a shard's chain
+        # is rewritten as one full snapshot (amortized O(|shard|/64 per
+        # round)), bounding both restore reads and per-round link fan-out
+        recs = ray.get([
+            s.ckpt_write.remote(
+                tmp, self.round_id,
+                len(prev_chain.get(str(i), [])) >= _CKPT_CHAIN_MAX,
+                len(prev_chain.get(str(i), [])),  # unique-name seq
+            )
+            for i, s in enumerate(self.seen)
+        ])
+        chain: dict[str, list[str]] = {}
+        inherit: dict[str, list[str]] = {}
+        for i, rec in enumerate(recs):
+            base = [] if rec["full"] else list(prev_chain.get(str(i), []))
+            if base:
+                inherit[str(i)] = base
+            if rec["file"]:
+                base = base + [rec["file"]]
+            chain[str(i)] = base
+        if inherit:
+            self.ckpt.inherit_chain(self._last_ckpt_round, tmp, inherit)
         manifest = {
             "counters": {
                 "next_seq": self.next_seq,
@@ -952,7 +1000,11 @@ class Crawler:
             },
             "politeness": self.gate.state(),
         }
-        self.ckpt.save(self.round_id, fr, sn, manifest)
+        manifest["seen_chain"] = chain
+        self.ckpt.commit(self.round_id, manifest)
+        ray.get([s.ckpt_ack.remote() for s in self.seen])
+        self._seen_chain = chain
+        self._last_ckpt_round = self.round_id
         pruned = self.ckpt.prune_old(self.cfg.ckpt_keep)
         if pruned:
             self.metrics.setdefault("ckpt_pruned", []).extend(pruned)
@@ -986,6 +1038,20 @@ class Crawler:
             [f.restore.remote(t) for f, t in zip(self.frontier, fr)]
             + [s.restore.remote(t) for s, t in zip(self.seen, sn)]
         )
+        chain = manifest.get("seen_chain")
+        if chain is None:
+            # legacy full-snapshot round: its seen_shard files become the
+            # chain base, so the NEXT checkpoint inherits them by hardlink
+            # and writes only deltas from here on
+            d = self.ckpt._dir(latest)
+            chain = {}
+            for i in range(len(self.seen)):
+                name = f"seen_shard_{i:04d}.parquet"
+                chain[str(i)] = (
+                    [name] if os.path.exists(os.path.join(d, name)) else []
+                )
+        self._seen_chain = chain
+        self._last_ckpt_round = latest
         c = manifest["counters"]
         self.next_seq = c["next_seq"]
         self.tick = c["tick"]

@@ -38,17 +38,62 @@ class CheckpointManager:
 
     def save(self, round_id: int, frontier_shards: list[pa.Table],
              seen_shards: list[pa.Table], manifest: dict) -> str:
-        d = self._dir(round_id)
-        tmp = d + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(d, ignore_errors=True)
-        os.makedirs(tmp)
+        """Full-snapshot save (legacy/simple path): every shard's complete
+        state as driver-written parquet. The crawl loop uses the
+        incremental begin/inherit_chain/commit protocol instead — this
+        stays for tests and for callers without actor-side writers."""
+        tmp = self.begin(round_id)
         for i, t in enumerate(frontier_shards):
             pq.write_table(t, os.path.join(tmp, f"frontier_shard_{i:04d}.parquet"))
         for i, t in enumerate(seen_shards):
             pq.write_table(t, os.path.join(tmp, f"seen_shard_{i:04d}.parquet"))
+        return self.commit(round_id, manifest)
+
+    # -- incremental protocol (delta-chain seen checkpoints) -------------
+    def begin(self, round_id: int) -> str:
+        """Open the round's tmp dir (clearing any stale attempt). Stage
+        files into it — driver-written frontier shards, actor-written seen
+        deltas (SeenShard.ckpt_write) — then commit(). A previously
+        COMMITTED dir for the same round is left in place until commit():
+        it may be the inherit_chain link source (a re-entered crawl —
+        add_sites after the frontier drained — re-checkpoints the same
+        round id), and keeping it shrinks the crash window to commit()'s
+        swap, the same window the old full-snapshot save had."""
+        d = self._dir(round_id)
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        return tmp
+
+    def inherit_chain(self, prev_round: int, tmp: str,
+                      chain: dict[str, list[str]]) -> None:
+        """Hardlink the previous committed round's seen-chain files into
+        the new round's tmp dir, making every round SELF-CONTAINED at
+        O(1) extra disk per inherited file (the inode is shared; retention
+        pruning an old round only drops a link). Falls back to a copy when
+        the filesystem refuses links."""
+        src_dir = self._dir(prev_round)
+        for names in chain.values():
+            for name in names:
+                src = os.path.join(src_dir, name)
+                dst = os.path.join(tmp, name)
+                if os.path.exists(dst):
+                    continue  # two shards can share nothing; names unique
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+
+    def commit(self, round_id: int, manifest: dict) -> str:
+        """Atomically promote the staged tmp dir; the manifest write is
+        the commit point (latest_round only counts parsable manifests).
+        An old committed dir for the same round is replaced here — a crash
+        inside the swap loses only this round's checkpoint, and _restore
+        falls back to the previous retained round."""
+        d = self._dir(round_id)
+        tmp = d + ".tmp"
+        shutil.rmtree(d, ignore_errors=True)
         os.rename(tmp, d)
-        # manifest written last, atomically: its presence commits the round
         mpath = os.path.join(d, "manifest.json")
         with open(mpath + ".tmp", "w") as f:
             json.dump({"round": round_id, **manifest}, f, indent=1, sort_keys=True)
@@ -123,6 +168,24 @@ class CheckpointManager:
                 pq.read_table(os.path.join(d, f"frontier_shard_{i:04d}.parquet"))
             )
             i += 1
+        chain = manifest.get("seen_chain")
+        if chain is not None:
+            # incremental layout: each shard's seen set is the UNION of
+            # its chain files (deltas after the last full snapshot); an
+            # empty chain is a shard that never saw a url
+            for key in sorted(chain, key=int):
+                parts = [
+                    pq.read_table(os.path.join(d, name))
+                    for name in chain[key]
+                ]
+                if parts:
+                    seen.append(pa.concat_tables(parts))
+                else:
+                    seen.append(pa.table(
+                        {"url": pa.array([], pa.string()),
+                         "url_hash": pa.array([], pa.uint64())}
+                    ))
+            return frontier, seen, manifest
         i = 0
         while os.path.exists(os.path.join(d, f"seen_shard_{i:04d}.parquet")):
             seen.append(

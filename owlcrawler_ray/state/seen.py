@@ -231,6 +231,16 @@ class SeenShard:
         self.max_mem_urls = max_mem_urls
         self.overflow: set[str] = set()  # cuckoo insert failures: always checked
         self._runs: list[tuple[np.ndarray, list[str]]] = []  # (sorted hashes, urls)
+        # incremental-checkpoint state: urls inserted since the last ACKED
+        # delta write (bounded by adds-per-checkpoint-window, NOT |seen|),
+        # plus a remove epoch so a remove_many between ckpt_write and
+        # ckpt_ack can never be silently dropped from the chain
+        self._ckpt_pending: list[str] = []
+        self._ckpt_mark = 0
+        self._ckpt_full_written = False
+        self._remove_epoch = 0
+        self._remove_epoch_at_write = 0
+        self._acked_epoch = 0
         if spill_dir:
             import os
 
@@ -344,6 +354,7 @@ class SeenShard:
         overflow-backed spilled URL never had its fingerprint inserted
         (the insert failed), so returning early on _in_runs alone would
         leave a filter-first false negative forever."""
+        self._ckpt_pending.append(u)
         if u in self.tombstones:
             self.tombstones.discard(u)
             if self._in_runs(u):
@@ -408,6 +419,12 @@ class SeenShard:
             if self._in_runs(u):
                 self.tombstones.add(u)
             removed += 1
+        if removed:
+            # append-only delta checkpoints can't express a removal: bump
+            # the epoch so the next ckpt_write rewrites the chain as one
+            # full snapshot (and an ack that raced this remove won't clear
+            # the flag — the epochs won't match)
+            self._remove_epoch += 1
         return removed
 
     @property
@@ -443,6 +460,78 @@ class SeenShard:
             }
         )
 
+    # -- incremental checkpoint (delta-chain) ---------------------------
+    @staticmethod
+    def _write_urls(urls: list[str], path: str) -> None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        t = pa.table(
+            {"url": pa.array(urls, pa.string()),
+             "url_hash": pa.array(url_hash64_many(urls), pa.uint64())}
+        )
+        pq.write_table(t, path + ".tmp")
+        os.rename(path + ".tmp", path)
+
+    def ckpt_write(self, out_dir: str, round_id: int,
+                   force_full: bool = False, seq: int = 0) -> dict:
+        """Write this shard's checkpoint contribution into ``out_dir``:
+        normally a DELTA parquet of the urls inserted since the last ACKED
+        write (O(adds per checkpoint window), not O(|seen|) — the property
+        that makes a 10^10-URL crawl's checkpoint cost proportional to
+        progress, not state), or a FULL snapshot when a remove_many has
+        invalidated the append-only chain. Returns
+        {"file": name|None, "full": bool}; file=None means nothing new.
+        The pending buffer is NOT cleared here — the driver calls
+        ckpt_ack() only after the round's manifest commits, so a crash
+        between write and commit re-sends the same urls next round
+        (duplicates are absorbed by restore()'s _known check)."""
+        import os
+
+        self._remove_epoch_at_write = self._remove_epoch
+        self._ckpt_mark = len(self._ckpt_pending)
+        if force_full or (
+            self._remove_epoch > 0 and not self._ckpt_full_acked_epoch()
+        ):
+            self._ckpt_full_written = True
+            name = (f"seen_full_{self.shard_id:04d}"
+                    f"_r{round_id:06d}_{seq:03d}.parquet")
+            self._write_urls(sorted(self._all_urls()),
+                             os.path.join(out_dir, name))
+            return {"file": name, "full": True}
+        self._ckpt_full_written = False
+        if self._ckpt_mark == 0:
+            return {"file": None, "full": False}
+        # seq = the driver-known chain length for this shard: two writes
+        # for the SAME round id (a re-entered crawl re-checkpointing after
+        # add_sites) get distinct names, so a fresh delta can never shadow
+        # an inherited same-round file
+        name = (f"seen_delta_{self.shard_id:04d}"
+                f"_r{round_id:06d}_{seq:03d}.parquet")
+        # pending may hold duplicates across un-acked writes; dedupe the
+        # slice (order-preserving) purely to shrink the file
+        pend = list(dict.fromkeys(self._ckpt_pending[: self._ckpt_mark]))
+        self._write_urls(pend, os.path.join(out_dir, name))
+        return {"file": name, "full": False}
+
+    def _ckpt_full_acked_epoch(self) -> bool:
+        """True when every remove so far is already covered by an acked
+        full write (the chain was reset at or after the last remove)."""
+        return self._acked_epoch >= self._remove_epoch
+
+    def ckpt_ack(self) -> None:
+        """Commit point reached: drop the pending urls covered by the last
+        ckpt_write and, if it was a full snapshot, mark the remove epoch it
+        captured as covered (a remove that landed BETWEEN write and ack
+        bumps the epoch past the captured value, so the next write is full
+        again — nothing is lost)."""
+        del self._ckpt_pending[: self._ckpt_mark]
+        self._ckpt_mark = 0
+        if self._ckpt_full_written:
+            self._acked_epoch = self._remove_epoch_at_write
+            self._ckpt_full_written = False
+
     def restore(self, table: pa.Table) -> int:
         if self.spill_dir:
             import os
@@ -459,4 +548,14 @@ class SeenShard:
         self.filter = (
             CuckooFilter(cap) if self.deletable else BloomFilter(cap)
         )
-        return self.add_many(table.column("url").to_pylist())
+        n = self.add_many(table.column("url").to_pylist())
+        # the restored set came FROM the committed chain — nothing here is
+        # pending for the next delta, and the chain is remove-free by
+        # construction (a full snapshot resets it)
+        self._ckpt_pending = []
+        self._ckpt_mark = 0
+        self._ckpt_full_written = False
+        self._remove_epoch = 0
+        self._remove_epoch_at_write = 0
+        self._acked_epoch = 0
+        return n
