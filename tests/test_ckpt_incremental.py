@@ -117,6 +117,30 @@ def test_force_full_compaction(tmp_path):
     assert sorted(t.column("url").to_pylist()) == ["http://a/1", "http://a/2"]
 
 
+def test_full_write_covers_spilled_runs_and_tombstones(tmp_path):
+    """The full-snapshot path must enumerate the WHOLE shard state — hot
+    set, disk-spilled sorted runs, cuckoo-overflow keys — minus tombstoned
+    removals; a shard restored from that single file answers membership
+    identically. This is the 10^10-URL configuration (spill_dir set), so
+    a miss here would silently drop spilled urls from every compaction."""
+    urls = [f"http://h{i % 7}/p{i}" for i in range(50)]
+    s = SeenShard(0, spill_dir=str(tmp_path / "spill"), max_mem_urls=8)
+    s.add_many(urls)  # crosses max_mem_urls repeatedly -> several runs
+    assert s._runs, "precondition: the shard actually spilled"
+    removed = urls[3:9]  # spans hot + spilled keys
+    s.remove_many(removed)
+    rec = s.ckpt_write(str(tmp_path), 0)
+    assert rec["full"] is True  # remove poisoned the chain
+    t = pq.read_table(os.path.join(tmp_path, rec["file"]))
+    expect = sorted(set(urls) - set(removed))
+    assert t.column("url").to_pylist() == expect
+    fresh = SeenShard(1)
+    fresh.restore(t)
+    assert list(fresh.contains_many(urls)) == [u not in removed for u in urls]
+    # restore wiped the checkpoint state: nothing pending, chain clean
+    assert fresh.ckpt_write(str(tmp_path), 1) == {"file": None, "full": False}
+
+
 # ---- e2e: crawl checkpoints are deltas, resume is exact ----------------
 
 def test_crawl_checkpoints_are_deltas_and_hardlinked(ray_session, tmp_path):
