@@ -954,14 +954,9 @@ class Crawler:
         lets the shards drop their pending buffers (ckpt_ack). Per-round
         cost is O(progress), not O(|seen|), and the seen bytes never
         transit the driver."""
-        import pyarrow.parquet as pq
-
         fr = ray.get([f.snapshot.remote() for f in self.frontier])
         tmp = self.ckpt.begin(self.round_id)
-        for i, t in enumerate(fr):
-            pq.write_table(
-                t, os.path.join(tmp, f"frontier_shard_{i:04d}.parquet")
-            )
+        self.ckpt.write_frontier(tmp, fr)
         prev_chain = self._seen_chain or {}
         # LSM-style compaction: past _CKPT_CHAIN_MAX files a shard's chain
         # is rewritten as one full snapshot (amortized O(|shard|/64 per
@@ -974,6 +969,21 @@ class Crawler:
             )
             for i, s in enumerate(self.seen)
         ])
+        # actor-written files must be visible driver-side BEFORE the
+        # manifest commits — the incremental protocol requires the
+        # checkpoint root on storage shared by driver and seen shards
+        # (single node / NFS / object-store mount); a mis-deployed
+        # non-shared root fails loudly here instead of committing a
+        # manifest that names unreachable files
+        for i, rec in enumerate(recs):
+            if rec["file"] and not os.path.exists(
+                    os.path.join(tmp, rec["file"])):
+                raise RuntimeError(
+                    f"seen shard {i} wrote checkpoint file {rec['file']!r} "
+                    f"that is not visible at {tmp!r} — the checkpoint dir "
+                    "must be on storage shared between the driver and the "
+                    "seen-shard actors"
+                )
         chain: dict[str, list[str]] = {}
         inherit: dict[str, list[str]] = {}
         for i, rec in enumerate(recs):
@@ -1007,7 +1017,15 @@ class Crawler:
         self._last_ckpt_round = self.round_id
         pruned = self.ckpt.prune_old(self.cfg.ckpt_keep)
         if pruned:
-            self.metrics.setdefault("ckpt_pruned", []).extend(pruned)
+            # bounded history: a lifetime total plus the most recent ids —
+            # an unbounded id list would grow O(rounds) on the driver,
+            # exactly the class of growth the retention policy bounds
+            self.metrics["ckpt_pruned_total"] = (
+                self.metrics.get("ckpt_pruned_total", 0) + len(pruned)
+            )
+            hist = self.metrics.setdefault("ckpt_pruned", [])
+            hist.extend(pruned)
+            del hist[:-1024]
 
     def _restore(self) -> bool:
         latest = self.ckpt.latest_round()

@@ -16,6 +16,15 @@ fingerprint, and lineage (which pages/images round dirs this state
 produced). Resume = restore from the highest round whose manifest parses;
 pages/images rounds after that point are discarded (their ``_SUCCESS`` is
 removed) so the resumed run re-produces them byte-identically.
+
+Deployment requirement: the checkpoint root must live on storage shared
+by the driver AND every SeenShard actor (single node, NFS/cluster FS, or
+an object-store mount) — the incremental protocol has actors write their
+seen deltas directly into the round dir so the seen bytes never transit
+the driver. The crawl loop verifies each actor-written file is visible
+driver-side BEFORE committing the manifest, so a mis-deployed
+non-shared root fails loudly at the first checkpoint instead of
+producing a manifest that names unreachable files.
 """
 
 from __future__ import annotations
@@ -43,11 +52,21 @@ class CheckpointManager:
         incremental begin/inherit_chain/commit protocol instead — this
         stays for tests and for callers without actor-side writers."""
         tmp = self.begin(round_id)
-        for i, t in enumerate(frontier_shards):
-            pq.write_table(t, os.path.join(tmp, f"frontier_shard_{i:04d}.parquet"))
+        self.write_frontier(tmp, frontier_shards)
         for i, t in enumerate(seen_shards):
             pq.write_table(t, os.path.join(tmp, f"seen_shard_{i:04d}.parquet"))
         return self.commit(round_id, manifest)
+
+    @staticmethod
+    def write_frontier(tmp: str, frontier_shards: list[pa.Table]) -> None:
+        """Stage the frontier shards into a begin()-opened tmp dir with the
+        canonical names load() scans for — the ONE place the frontier file
+        naming lives (save() and the crawl loop's incremental _checkpoint
+        both route through here)."""
+        for i, t in enumerate(frontier_shards):
+            pq.write_table(
+                t, os.path.join(tmp, f"frontier_shard_{i:04d}.parquet")
+            )
 
     # -- incremental protocol (delta-chain seen checkpoints) -------------
     def begin(self, round_id: int) -> str:
@@ -79,9 +98,26 @@ class CheckpointManager:
                 dst = os.path.join(tmp, name)
                 if os.path.exists(dst):
                     continue  # two shards can share nothing; names unique
+                if not os.path.exists(src):
+                    # a chain file named by the manifest MUST exist in the
+                    # previous committed round — its absence means the
+                    # chain invariant is broken (external deletion, a
+                    # partially swept dir, or a checkpoint root that is
+                    # not shared with the SeenShard actors); a copy
+                    # fallback can never repair that, so fail loudly here
+                    raise RuntimeError(
+                        f"seen-chain file {name!r} missing from committed "
+                        f"round dir {src_dir!r}; checkpoint chain "
+                        "invariant broken (was the checkpoint root "
+                        "modified externally, or is it not on storage "
+                        "shared with the seen-shard actors?)"
+                    )
                 try:
                     os.link(src, dst)
                 except OSError:
+                    # link refused by the filesystem (EXDEV/EPERM/ENOTSUP)
+                    # — src is known present, so a copy is a valid
+                    # (costlier) substitute
                     shutil.copy2(src, dst)
 
     def commit(self, round_id: int, manifest: dict) -> str:
@@ -142,6 +178,7 @@ class CheckpointManager:
         if len(committed) <= keep:
             return []
         cutoff = committed[-keep]  # newest `keep` survive
+        committed_set = set(committed)
         pruned = []
         for name in os.listdir(self.root):
             if not name.startswith("round="):
@@ -153,7 +190,11 @@ class CheckpointManager:
             if rid < cutoff:
                 shutil.rmtree(os.path.join(self.root, name),
                               ignore_errors=True)
-                if not name.endswith(".tmp"):
+                # uncommitted leftovers (a crash between the dir swap and
+                # the manifest write) are swept but NOT reported: the
+                # returned ids feed the metrics' pruned-round history, and
+                # a never-committed round was never part of it
+                if not name.endswith(".tmp") and rid in committed_set:
                     pruned.append(rid)
         return sorted(pruned)
 

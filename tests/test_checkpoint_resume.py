@@ -269,6 +269,8 @@ def test_ckpt_retention_bounds_disk_and_resume_survives(ray_session,
     )
     assert len(rounds) == 2  # retention enforced
     assert c1.metrics.get("ckpt_pruned")  # older rounds were swept
+    # the metric history is bounded: total counter + recent-id window
+    assert c1.metrics["ckpt_pruned_total"] == len(c1.metrics["ckpt_pruned"])
     # the pruned ids + survivors partition the full round history
     assert sorted(c1.metrics["ckpt_pruned"] + rounds) == list(
         range(rounds[0] - len(c1.metrics["ckpt_pruned"]), rounds[-1] + 1)

@@ -170,19 +170,32 @@ def test_crawl_checkpoints_are_deltas_and_hardlinked(ray_session, tmp_path):
                 pq.read_table(os.path.join(last, n)).column("url").to_pylist()
             )
     assert len(urls) == s["seen"]
-    # inherited files are hardlinks (inode shared with an earlier round)
-    early = [n for n in names if f"r{len(rounds)-1:06d}" not in n]
+    # group the chain files by the round id embedded in their names —
+    # NOT by len(rounds) (wrong once retention prunes early rounds, and a
+    # final no-progress checkpoint writes no file tagged with its round,
+    # which made the original own-rows assertion vacuous)
+    import re
+
+    by_round: dict[int, list[str]] = {}
+    for n in names:
+        rid = int(re.search(r"_r(\d{6})_", n).group(1))
+        by_round.setdefault(rid, []).append(n)
+    assert len(by_round) >= 2  # the chain really spans multiple rounds
+    # files inherited from earlier rounds are hardlinks (shared inode)
+    cur = int(manifest["round"])
+    early = [n for rid, ns in by_round.items() if rid < cur for n in ns]
     assert early and any(
         os.stat(os.path.join(last, n)).st_nlink > 1 for n in early
     )
-    # per-round delta bytes << full-set bytes: the newest round's OWN new
-    # files carry only that round's progress
-    own = [n for files in chain.values() for n in files
-           if n not in early]
-    own_rows = sum(
-        pq.read_table(os.path.join(last, n)).num_rows for n in own
-    )
-    assert own_rows < len(urls)
+    # the deltas are disjoint, cover the seen set exactly, and NO single
+    # round's files carry the whole set — per-round checkpoint bytes are
+    # proportional to that round's progress, not to |seen|
+    rows_by_round = {
+        rid: sum(pq.read_table(os.path.join(last, n)).num_rows for n in ns)
+        for rid, ns in by_round.items()
+    }
+    assert sum(rows_by_round.values()) == len(urls)
+    assert max(rows_by_round.values()) < len(urls)
 
 
 def test_resume_from_legacy_full_snapshot_layout(ray_session, tmp_path):
@@ -237,3 +250,62 @@ def test_resume_from_legacy_full_snapshot_layout(ray_session, tmp_path):
         assert len(g) == len(w), name
         for a, b in zip(g, w):
             assert a == b, name
+
+
+def test_save_load_legacy_roundtrip(tmp_path):
+    """CheckpointManager.save() (the full-snapshot path kept for callers
+    without actor-side writers) round-trips through load(): frontier and
+    seen shards come back table-for-table under the legacy layout."""
+    from owlcrawler_ray.sinks.checkpoint import CheckpointManager
+
+    ck = CheckpointManager(str(tmp_path / "ck"))
+    fr = [pa.table({"url": ["http://a/1", "http://a/2"],
+                    "seq": pa.array([0, 1], pa.int64())}),
+          pa.table({"url": ["http://b/1"], "seq": pa.array([2], pa.int64())})]
+    sn = [pa.table({"url": ["http://a/1"],
+                    "url_hash": pa.array([7], pa.uint64())}),
+          pa.table({"url": pa.array([], pa.string()),
+                    "url_hash": pa.array([], pa.uint64())})]
+    ck.save(3, fr, sn, {"counters": {"tick": 9}})
+    assert ck.latest_round() == 3
+    fr2, sn2, manifest = ck.load(3)
+    assert [t.to_pydict() for t in fr2] == [t.to_pydict() for t in fr]
+    assert [t.to_pydict() for t in sn2] == [t.to_pydict() for t in sn]
+    assert manifest["counters"] == {"tick": 9}
+    assert "seen_chain" not in manifest  # legacy layout, no chain
+
+
+def test_inherit_chain_missing_source_fails_loudly(tmp_path):
+    """A chain file absent from the previous committed round is a broken
+    invariant (external deletion / non-shared checkpoint root): the error
+    must name the file and round dir, not die in a copy fallback."""
+    import pytest
+
+    from owlcrawler_ray.sinks.checkpoint import CheckpointManager
+
+    ck = CheckpointManager(str(tmp_path / "ck"))
+    tmp0 = ck.begin(0)
+    path = os.path.join(tmp0, "seen_delta_0000_r000000_000.parquet")
+    pq.write_table(pa.table({"url": ["http://a/1"]}), path)
+    ck.commit(0, {"seen_chain": {"0": ["seen_delta_0000_r000000_000.parquet"]}})
+    tmp1 = ck.begin(1)
+    with pytest.raises(RuntimeError, match="missing from committed"):
+        ck.inherit_chain(0, tmp1, {"0": ["seen_delta_9999_nope.parquet"]})
+
+
+def test_prune_reports_only_committed_rounds(tmp_path):
+    """An uncommitted round dir (crash between the dir swap and the
+    manifest write) is swept by retention but must NOT be reported as a
+    pruned round — the ids feed the crawl's pruned-history metric."""
+    from owlcrawler_ray.sinks.checkpoint import CheckpointManager
+
+    ck = CheckpointManager(str(tmp_path / "ck"))
+    for r in (0, 2, 3, 4):
+        ck.begin(r)
+        ck.commit(r, {})
+    # round 1 crashed post-swap, pre-manifest: dir exists, no manifest
+    os.makedirs(os.path.join(ck.root, "round=000001"))
+    pruned = ck.prune_old(keep=2)
+    assert pruned == [0, 2]  # committed sweeps only
+    left = sorted(os.listdir(ck.root))
+    assert left == ["round=000003", "round=000004"]  # dir 1 swept too
