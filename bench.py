@@ -32,6 +32,29 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# window/noise policy constants — ONE definition each: leg_policy's budget
+# reservation assumes the sleep it reserves is the sleep run_default takes,
+# and the session flag must apply the same band/spread the stop decision
+# used, or the recorded quiet/noisy label desynchronizes from the policy
+EXTRA_BUDGET_S = 300.0   # spend beyond the mandatory two legs
+WAIT_SLEEP_S = 45.0      # spacing between legs in a noisy plateau
+LEG_SPREAD_MAX = 1.25    # two-leg agreement bound for min-of-legs trust
+
+
+def quiet_band_s(ncpu: int) -> float:
+    """Crawl-leg seconds under which a window counts as quiet at this
+    width (20 s at 32 cpus, scaled to the width's expected runtime)."""
+    return 20.0 * (32.0 / max(ncpu, 1))
+
+
+def _sf_label() -> str:
+    """Scale-factor label from the LAST 'sf' segment of the dir basename
+    (a raw split on 'sf' anywhere in the path mislabels e.g. .../sf0.1_x)."""
+    import re
+
+    m = re.search(r"sf([0-9.]+)", os.path.basename(SF_DIR.rstrip("/")))
+    return m.group(1) if m else os.path.basename(SF_DIR.rstrip("/"))
+
 BENCH_QUERIES = [
     "word_index",
     "pricing_summary",
@@ -146,10 +169,13 @@ def _time_queries() -> dict:
 
 
 def _warm_page_cache() -> None:
-    """Read the sf parquet once so query timings measure compute+shuffle,
-    not first disk read."""
-    for name in ("lineitem", "orders", "documents", "events", "embeddings"):
-        with open(f"{SF_DIR}/{name}.parquet", "rb") as f:
+    """Read EVERY sf parquet once so query timings measure
+    compute+shuffle, not first disk read (the earlier hand-picked list
+    missed customer.parquet, so broadcast_join's pass 1 paid cold I/O)."""
+    import glob
+
+    for path in sorted(glob.glob(f"{SF_DIR}/*.parquet")):
+        with open(path, "rb") as f:
             f.read()
 
 
@@ -209,31 +235,15 @@ def run_once() -> dict:
         "seen_spill": cfg.seen_spill,
     }
 
-    if os.environ.get("GRAFT_SKIP_QUERIES") == "1":
-        # scaling/headline legs: only the crawl number feeds the ratio —
-        # return before the page-cache warm so a crawl-only leg pays no
-        # needless sf-table I/O
-        out = {
-            "metric": "crawl fetch+decode wall-clock (synthetic web, parity "
-                      "mode)",
-            "value": round(crawl_sec, 3), "unit": "sec", "queries": {},
-            "sf": SF_DIR.rstrip("/").split("sf")[-1], "num_cpus": NCPU,
-            "crawl": crawl_stats,
-        }
-        ray.shutdown()
-        return out
-    # ---- operator suite over the sf tables ----------------------------
-    _warm_page_cache()
-    qtimes = _time_queries()
-
+    # crawl-only result: run_once is ONLY ever the GRAFT_SKIP_QUERIES=1
+    # subprocess leg (scaling/headline legs feed min-of-legs ratios);
+    # query timings come exclusively from run_default's min-of-2 passes —
+    # a single cold pass here would contradict that contract
     out = {
-        "metric": "crawl fetch+decode wall-clock (synthetic web, parity mode) "
-                  "+ operator suite timings",
-        "value": round(crawl_sec, 3),
-        "unit": "sec",
-        "queries": qtimes,
-        "sf": SF_DIR.rstrip("/").split("sf")[-1],
-        "num_cpus": NCPU,
+        "metric": "crawl fetch+decode wall-clock (synthetic web, parity "
+                  "mode)",
+        "value": round(crawl_sec, 3), "unit": "sec", "queries": {},
+        "sf": _sf_label(), "num_cpus": NCPU,
         "crawl": crawl_stats,
     }
     ray.shutdown()
@@ -245,9 +255,18 @@ def _crawl_leg(ncpu: int) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
-        env=env, capture_output=True, text=True, check=True,
+        env=env, capture_output=True, text=True,
     )
-    return json.loads(proc.stdout.strip().splitlines()[-1])
+    # surface the leg's own stderr on any failure: check=True would
+    # discard it ('returned non-zero exit status 1' after a 20-minute
+    # run), and an empty-stdout leg would die in splitlines()[-1]
+    lines = proc.stdout.strip().splitlines()
+    if proc.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"crawl leg at {ncpu} cpus failed (exit {proc.returncode}); "
+            f"stderr tail: {proc.stderr[-2000:]!r}"
+        )
+    return json.loads(lines[-1])
 
 
 def leg_policy(secs: list[float], ncpu: int, extra_elapsed: float) -> str:
@@ -267,20 +286,18 @@ def leg_policy(secs: list[float], ncpu: int, extra_elapsed: float) -> str:
     legs stays within EXTRA_BUDGET_S unless the final leg runs slower than
     every previous one — a post-spend check alone would let a 'wait' issued
     at 299 s burn another sleep+leg past the bound."""
-    EXTRA_BUDGET_S = 300.0
-    WAIT_SLEEP_S = 45.0
-    quiet_band = 20.0 * (32.0 / max(ncpu, 1))
+    band = quiet_band_s(ncpu)
     srt = sorted(secs)
     # the recorded artifact is min-of-legs, so the minimum is trustworthy
-    # once the two SMALLEST legs agree within 1.25x inside the quiet band
-    # (spread over ALL legs would never recover from noisy early legs and
-    # would burn the budget re-confirming an already-confirmed dip)
-    if srt[0] <= quiet_band and srt[1] / max(srt[0], 1e-9) <= 1.25:
+    # once the two SMALLEST legs agree within LEG_SPREAD_MAX inside the
+    # quiet band (spread over ALL legs would never recover from noisy
+    # early legs and would burn the budget re-confirming a confirmed dip)
+    if srt[0] <= band and srt[1] / max(srt[0], 1e-9) <= LEG_SPREAD_MAX:
         return "stop"
     # every leg above the band = a noisy plateau: waiting beats
     # re-measuring the same window; a lone unconfirmed dip = the window
     # is already moving, measure again immediately to confirm it
-    act = "wait" if srt[0] > quiet_band else "retry"
+    act = "wait" if srt[0] > band else "retry"
     cost = srt[-1] + (WAIT_SLEEP_S if act == "wait" else 0.0)
     if extra_elapsed + cost > EXTRA_BUDGET_S:
         return "stop"
@@ -294,6 +311,12 @@ def run_default() -> dict:
     passes. Raw legs are kept in the JSON (crawl_legs / queries_runs)."""
     import ray
 
+    # fail on a registry drift BEFORE burning two multi-minute crawl legs
+    from owlcrawler_ray.pipelines.queries import QUERIES
+    missing = [n for n in BENCH_QUERIES if n not in QUERIES]
+    if missing:
+        raise SystemExit(f"BENCH_QUERIES not in registry: {missing}")
+
     legs = [_crawl_leg(NCPU), _crawl_leg(NCPU)]
     t_extra = time.perf_counter()
     while True:
@@ -302,7 +325,7 @@ def run_default() -> dict:
         if act == "stop":
             break
         if act == "wait":
-            time.sleep(45.0)
+            time.sleep(WAIT_SLEEP_S)
         legs.append(_crawl_leg(NCPU))
     best = min(legs, key=lambda r: r["crawl"]["sec"])
     # machine-state flag: record the leg spread so a future reader can
@@ -312,8 +335,8 @@ def run_default() -> dict:
     # session that happens to be flat, not a quiet one
     secs = sorted(l["crawl"]["sec"] for l in legs)
     leg_spread = round(secs[-1] / max(secs[0], 1e-9), 3)
-    session = ("quiet" if leg_spread <= 1.25
-               and secs[0] <= 20.0 * (32.0 / max(NCPU, 1)) else "noisy")
+    session = ("quiet" if leg_spread <= LEG_SPREAD_MAX
+               and secs[0] <= quiet_band_s(NCPU) else "noisy")
 
     _init_ray()
     _warm_page_cache()
@@ -337,7 +360,7 @@ def run_default() -> dict:
         "unit": "sec",
         "queries": qmin,
         "queries_runs": runs,
-        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "sf": _sf_label(),
         "num_cpus": NCPU,
         "crawl": best["crawl"],
         "crawl_legs": [l["crawl"] for l in legs],
@@ -372,7 +395,7 @@ def run_scaling() -> dict:
         secs = sorted(l["crawl"]["sec"] for l in results[n])
         return secs[-1] / max(secs[0], 1e-9)
 
-    if _spread(n_lo) > 1.25 or _spread(n_hi) > 1.25:
+    if _spread(n_lo) > LEG_SPREAD_MAX or _spread(n_hi) > LEG_SPREAD_MAX:
         for n in (n_lo, n_hi):
             results[n].append(_crawl_leg(n))
 
@@ -407,11 +430,12 @@ def run_scaling() -> dict:
         "legs_lo": raw_legs.get(n_lo),
         "legs_hi": raw_legs.get(n_hi),
         "session": ("quiet" if all(
-            l[-1] / max(l[0], 1e-9) <= 1.25
-            and l[0] <= 20.0 * (32.0 / n)
+            l[-1] / max(l[0], 1e-9) <= LEG_SPREAD_MAX
+            and l[0] <= quiet_band_s(n)
             for n, l in raw_legs.items()) else "noisy"),
         "minima_confirmed": all(
-            l[1] / max(l[0], 1e-9) <= 1.25 for l in raw_legs.values()),
+            l[1] / max(l[0], 1e-9) <= LEG_SPREAD_MAX
+            for l in raw_legs.values()),
     }
 
 
@@ -440,14 +464,22 @@ def run_megaround() -> dict:
         image_concurrency=max(2, NCPU // 2),
         out_dir=f"{base}/out", ckpt_dir=f"{base}/ckpt",
         keep_logs=False, max_rounds=1,
+        # honor the spill knob like every other bench mode — a mega-round
+        # silently measured in-memory under GRAFT_SEEN_SPILL=1 would be
+        # indistinguishable from a real spill-mode record
+        seen_spill=os.environ.get("GRAFT_SEEN_SPILL") == "1",
+        seen_max_mem_urls=2048 if os.environ.get("GRAFT_SEEN_SPILL") == "1"
+        else 1 << 20,
     )
     warmup_workers(NCPU)
     c = Crawler(cfg)
     # pre-fill the frontier with the entire web so ONE round admits the
     # full budget (BFS growth would otherwise need many warmup rounds)
+    # roots are ALREADY queued by Crawler's seed step (n_seed_hosts ==
+    # num_hosts), so only the unseeded page-1..N-1 urls are pushed here —
+    # a duplicate root occurrence would just be dropped at dequeue dedup
     urls = []
     for i in range(web.num_hosts):
-        urls.append(f"http://host-{i}.test/")
         urls.extend(
             f"http://host-{i}.test/page-{j}.html"
             for j in range(1, web.pages_on(i))
@@ -495,6 +527,7 @@ def run_megaround() -> dict:
     out = {
         "metric": "mega-round driver-loop fractions at budget>=100k",
         "budget_per_round": budget,
+        "seen_spill": cfg.seen_spill,
         "attempt_ticks": summary["ticks"],
         "fetched_urls": summary["fetched"],
         "num_cpus": NCPU,

@@ -230,3 +230,24 @@ def test_run_default_stable_slow_plateau_is_flagged_noisy(monkeypatch):
         monkeypatch, [30.0] * 50, tick_per_leg=60.0)
     assert out["value"] == 30.0 and out["session"] == "noisy"
     assert legs <= 11  # bounded by leg_policy's 300 s extra budget
+
+
+def test_bench_queries_all_in_registry():
+    """A registry rename must fail fast (and in CI), not after two
+    multi-minute crawl legs inside the driver's bench run."""
+    import bench
+    from owlcrawler_ray.pipelines.queries import QUERIES
+
+    missing = [n for n in bench.BENCH_QUERIES if n not in QUERIES]
+    assert missing == []
+
+
+def test_sf_label_handles_suffixed_dirs(monkeypatch):
+    import bench
+
+    monkeypatch.setattr(bench, "SF_DIR", "/data/sf0.1")
+    assert bench._sf_label() == "0.1"
+    monkeypatch.setattr(bench, "SF_DIR", "/data/sf0.1_transfer/")
+    assert bench._sf_label() == "0.1"
+    monkeypatch.setattr(bench, "SF_DIR", "/tmp/sfx/sf0.001")
+    assert bench._sf_label() == "0.001"
