@@ -310,6 +310,34 @@ class SeenShard:
                 i += 1
         return False
 
+    def _in_runs_many(self, urls: list[str], hs: np.ndarray) -> np.ndarray:
+        """Vectorized run membership for a whole probe batch: ONE
+        searchsorted per run instead of one scalar call per (url, run) —
+        the per-url loop was the width-independent serial cost that
+        dragged spill-mode scaling (the admission RPC probes thousands of
+        urls per round against a fixed shard count, so any per-url Python
+        work in here is Amdahl overhead at wide cpu counts). String
+        equality is only checked at hash-collision candidates."""
+        out = np.zeros(len(urls), dtype=bool)
+        for hashes, run_urls in self._runs:
+            n = len(hashes)
+            if n == 0:
+                continue
+            idx = np.searchsorted(hashes, hs)
+            safe = np.minimum(idx, n - 1)
+            cand = np.flatnonzero((idx < n) & (hashes[safe] == hs))
+            for i in cand:
+                if out[i]:
+                    continue
+                j = int(idx[i])
+                u, h = urls[i], hs[i]
+                while j < n and hashes[j] == h:
+                    if run_urls[j] == u:
+                        out[i] = True
+                        break
+                    j += 1
+        return out
+
     def _exact_contains(self, u: str) -> bool:
         # tombstones veto RUN membership only (they exist because spilled
         # runs are immutable); the live sets always win, so a removed-then-
@@ -329,15 +357,26 @@ class SeenShard:
             # (filter saturated): a dropped victim key is NOT in overflow,
             # so negatives stop being trustworthy — fall back to exact
             # checks for every probe until restore() rebuilds the filter.
+            hs = url_hash64_many(urls)
             if getattr(self.filter, "dropped", 0) > 0:
-                return np.fromiter(
-                    (self._exact_contains(u) for u in urls),
-                    dtype=bool, count=len(urls),
-                )
-            mask = self.filter.contains_many(url_hash64_many(urls))
-            out = np.zeros(len(urls), dtype=bool)
-            for i, (u, m) in enumerate(zip(urls, mask)):
-                out[i] = (m and self._exact_contains(u)) or u in self.overflow
+                mask = np.ones(len(urls), dtype=bool)  # exact-check all
+            else:
+                mask = self.filter.contains_many(hs)
+            # live sets first (cheap set lookups; overflow members may
+            # have NO fingerprint, so they're checked regardless of mask)
+            out = np.fromiter(
+                ((u in self.urls) or (u in self.overflow) for u in urls),
+                dtype=bool, count=len(urls),
+            )
+            # remaining filter-positives: batched run verify + tombstone veto
+            rem = np.flatnonzero(mask & ~out)
+            if rem.size and self._runs:
+                hit = self._in_runs_many([urls[i] for i in rem], hs[rem])
+                tomb = self.tombstones
+                for k in np.flatnonzero(hit):
+                    i = int(rem[k])
+                    if urls[i] not in tomb:
+                        out[i] = True
             return out
         return self.filter.contains_many(url_hash64_many(urls))
 
@@ -371,13 +410,37 @@ class SeenShard:
             if not self.filter.insert(int(h)):
                 self.overflow.add(u)  # filter full: exact-checked forever
 
+    def _known_mask(self, urls: list[str], hs: np.ndarray) -> np.ndarray:
+        """Batched `_known` for the insert paths: run membership resolved
+        with ONE searchsorted per run (`_in_runs_many`), live-set and
+        tombstone state consulted per url (cheap set lookups). Runs are
+        immutable within a batch (spill happens after the insert loop),
+        so the precomputed run hits stay valid; mutations from earlier
+        inserts in the SAME batch only affect the url itself, which the
+        callers cover with a batch-local `done` set."""
+        if not self.spill_dir or not self._runs:
+            return np.fromiter(
+                (u in self.urls for u in urls), dtype=bool, count=len(urls)
+            )
+        run_hit = self._in_runs_many(urls, hs)
+        out = np.empty(len(urls), dtype=bool)
+        for i, u in enumerate(urls):
+            out[i] = (
+                u in self.urls or u in self.overflow
+                or (bool(run_hit[i]) and u not in self.tombstones)
+            )
+        return out
+
     def add_many(self, urls: list[str]) -> int:
         added = 0
         hs = url_hash64_many(urls)
-        for u, h in zip(urls, hs):
-            if self._known(u):
+        known = self._known_mask(urls, hs)
+        done: set[str] = set()  # same-batch duplicates (insert OR revive)
+        for i, (u, h) in enumerate(zip(urls, hs)):
+            if known[i] or u in done:
                 continue
             self._insert(u, h)
+            done.add(u)
             added += 1
         if not self.deletable:
             self.filter.add_many(hs)
@@ -388,10 +451,14 @@ class SeenShard:
         """True = newly inserted (the 409-equivalent boolean mask)."""
         out = np.zeros(len(urls), dtype=bool)
         hs = url_hash64_many(urls)
+        known = self._known_mask(urls, hs)
+        done: set[str] = set()  # same-batch duplicates (insert OR revive)
         for i, (u, h) in enumerate(zip(urls, hs)):
-            if not self._known(u):
-                self._insert(u, h)
-                out[i] = True
+            if known[i] or u in done:
+                continue
+            self._insert(u, h)
+            done.add(u)
+            out[i] = True
         if not self.deletable:
             self.filter.add_many(hs)
         self._maybe_spill()
