@@ -42,6 +42,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import AggregateFn, Count, Max, Min, Sum
 
+from ..functions.vecs import list_to_matrix
+
 
 def _p(sf_dir: str, table: str) -> str:
     return f"{sf_dir}/{table}.parquet"
@@ -1238,7 +1240,7 @@ def q_ann_topk(sf_dir: str):
 
     def score(batch: pa.Table) -> pa.Table:
         q = ray.get(ref)
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = list_to_matrix(batch.column("embedding"))
         norms = np.linalg.norm(mat, axis=1)
         cos = (mat @ q) / np.maximum(norms, 1e-12)
         t = pa.table(
@@ -1494,7 +1496,7 @@ def _compute_embedding_near_dup(sf_dir: str):
 
     def code_rows(batch: pa.Table) -> pa.Table:
         pls = ray.get(pref)
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = list_to_matrix(batch.column("embedding"))
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         ids = batch.column("vec_id").to_numpy()
         weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
@@ -1548,10 +1550,10 @@ def _compute_embedding_near_dup(sf_dir: str):
     # the driver — it only merges verified (vec_a, vec_b) id pairs, the
     # same bytes as the op's output. The cap is enforced in the task.
     def emit_pairs(g: pa.Table) -> pa.Table:
-        ids = np.asarray(g.column("vec_id").to_pylist(), dtype=np.int64)
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(ids, kind="stable")[:cap]  # keep cap smallest ids
         ids = ids[order]
-        mat = np.asarray(g.column("embedding").to_pylist(), np.float64)[order]
+        mat = list_to_matrix(g.column("embedding"))[order]
         mat = mat / np.maximum(
             np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
         )
@@ -1706,7 +1708,7 @@ def q_ann_ivf(sf_dir: str):
 
     def probe(batch: pa.Table) -> pa.Table:
         q, pls, qcs = ray.get(ref)
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = list_to_matrix(batch.column("embedding"))
         norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
         mask = np.zeros(len(mat), dtype=bool)
         for pl, qc in zip(pls, qcs):
@@ -1762,7 +1764,7 @@ def q_ann_ivf_centroids(sf_dir: str):
     k_lists, nprobe, k, iters = 32, 12, 20, 5
     pf = pq.ParquetFile(_p(sf_dir, "embeddings"))
     sample = pf.read_row_group(0, columns=["embedding"]).column("embedding")
-    smat = np.asarray(sample.to_pylist()[:2048], dtype=np.float64)
+    smat = list_to_matrix(sample.slice(0, 2048))
     smat = smat / np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(777)
     cent = smat[rng.choice(len(smat), size=min(k_lists, len(smat)),
@@ -1782,7 +1784,7 @@ def q_ann_ivf_centroids(sf_dir: str):
 
     def probe(batch: pa.Table) -> pa.Table:
         q, c, pl = ray.get(ref)
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = list_to_matrix(batch.column("embedding"))
         norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
         nmat = mat / norms[:, None]
         assign = np.argmax(nmat @ c.T, axis=1)
@@ -3059,7 +3061,7 @@ def q_label_centroids(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         labels = batch.column("label").to_numpy()
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = list_to_matrix(batch.column("embedding"))
         nano = (np.sign(mat) * np.floor(np.abs(mat) * 1e9 + 0.5)).astype(np.int64)
         uniq, inv = np.unique(labels, return_inverse=True)
         sums = np.zeros((len(uniq), dim), dtype=np.int64)
@@ -5622,7 +5624,9 @@ ORACLES["source_overlap"] = """
 
 def _list_flat_f64(vecs):
     """(flat_float64_values, counts, row_of, dim0) for a list<float>
-    column, rebased for sliced inputs like _word_ngrams does."""
+    column, rebased for sliced inputs like _word_ngrams does. This is
+    the RAGGED companion of functions.vecs.list_to_matrix — use that
+    one when the stage wants the (n, d) fixed-width matrix."""
     if isinstance(vecs, pa.ChunkedArray):
         vecs = vecs.combine_chunks()
     offs = np.asarray(vecs.offsets, dtype=np.int64)
@@ -5759,7 +5763,7 @@ def q_ann_pq(sf_dir: str):
     m, ksub, k, iters = 16, 32, 20, 8
     pf = pq.ParquetFile(_p(sf_dir, "embeddings"))
     sample = pf.read_row_group(0, columns=["embedding"]).column("embedding")
-    smat = np.asarray(sample.to_pylist()[:2048], dtype=np.float64)
+    smat = list_to_matrix(sample.slice(0, 2048))
     smat = smat / np.maximum(
         np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
     d = smat.shape[1]

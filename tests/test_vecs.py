@@ -1,0 +1,85 @@
+"""Bit-identity + shape gates for functions.vecs.list_to_matrix.
+
+The kernel replaces np.asarray(col.to_pylist(), float64) in every
+embedding hot stage; these tests pin that the two paths produce
+byte-identical matrices on every input shape the stages see (plain,
+chunked, sliced, float64 lists, empty) and that corrupt inputs fail
+loudly instead of silently reshaping.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from owlcrawler_ray.functions.vecs import list_to_matrix
+
+
+def _ref(col):
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+def _rand_lists(n, d, seed, pa_type=pa.float32()):
+    rng = np.random.default_rng(seed)
+    vals = rng.standard_normal((n, d)).astype(
+        "float32" if pa_type == pa.float32() else "float64")
+    return pa.array(list(vals), pa.list_(pa_type))
+
+
+def test_bit_identity_plain():
+    arr = _rand_lists(257, 64, 1)
+    got = list_to_matrix(arr)
+    ref = _ref(arr)
+    assert got.dtype == np.float64 and got.shape == (257, 64)
+    assert np.array_equal(got, ref)  # exact, not allclose
+
+
+def test_bit_identity_chunked_and_sliced():
+    a = _rand_lists(100, 16, 2)
+    b = _rand_lists(37, 16, 3)
+    ch = pa.chunked_array([a, b])
+    assert np.array_equal(list_to_matrix(ch), _ref(ch))
+    sl = a.slice(13, 41)  # offsets window starts mid-buffer
+    assert np.array_equal(list_to_matrix(sl), _ref(sl))
+    # slice of a combined chunked array (what Table.column slicing yields)
+    sl2 = ch.combine_chunks().slice(95, 20)
+    assert np.array_equal(list_to_matrix(sl2), _ref(sl2))
+
+
+def test_float64_passthrough_and_empty():
+    arr = _rand_lists(10, 8, 4, pa.float64())
+    assert np.array_equal(list_to_matrix(arr), _ref(arr))
+    empty = pa.array([], pa.list_(pa.float32()))
+    assert list_to_matrix(empty).shape == (0, 0)
+
+
+def test_loud_on_ragged_and_null():
+    ragged = pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float32()))
+    with pytest.raises(ValueError, match="ragged"):
+        list_to_matrix(ragged)
+    nulls = pa.array([[1.0, 2.0], None], pa.list_(pa.float32()))
+    with pytest.raises(ValueError, match="null"):
+        list_to_matrix(nulls)
+
+
+def test_faster_than_pylist():
+    """Not a benchmark assert on wall time ratios (VM noise) — just a
+    sanity floor that the kernel is not slower than the boxing path on
+    a realistic batch. Min-of-5 each, generous 1.2x bar."""
+    import time
+
+    arr = _rand_lists(2000, 64, 5)
+
+    def best(fn):
+        t = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            fn()
+            t.append(time.perf_counter() - t0)
+        return min(t)
+
+    new = best(lambda: list_to_matrix(arr))
+    old = best(lambda: _ref(arr))
+    assert np.array_equal(list_to_matrix(arr), _ref(arr))
+    assert new < old * 1.2, (new, old)
