@@ -1,7 +1,9 @@
 """Distributed-mergeable sketches: HyperLogLog distinct counting.
 
-Deterministic (md5-based key hashing — no Python hash()), numpy-
-vectorized per batch, and MERGEABLE: register-wise max combines partial
+Deterministic (md5-based key hashing for arbitrary values — no Python
+hash(); NUMERIC key columns should feed ids.int_hash64_many instead,
+the vectorized splitmix64 path the HLL queries use), numpy-vectorized
+per batch, and MERGEABLE: register-wise max combines partial
 sketches from independent batches/nodes into the whole-stream sketch,
 which is what makes HLL the 100-TB distinct-count operator (per-batch
 partials -> tiny register exchange -> one merge; the alternative exact

@@ -2852,19 +2852,26 @@ ORACLES["events_sliding_3h"] = """
 # ---------------------------------------------------------------------------
 
 def q_hll_distinct_orders(sf_dir: str):
-    """Approximate distinct l_orderkey via HyperLogLog (p=12, md5-hashed,
+    """Approximate distinct l_orderkey via HyperLogLog (p=12,
     deterministic): each batch emits its 4 KiB register row; the driver
     merges with elementwise max and estimates. The exchange is
     O(batches x 4 KiB) — vs the exact `unique`'s all-to-all shuffle of
-    every key. Error bound (~1.6% at p=12) is pytest-gated against the
-    exact count; mergeability (split-invariance) is pytest-gated too."""
-    from ..functions.sketch import HyperLogLog, hash64
+    every key. Numeric keys feed through the vectorized splitmix64
+    finalizer (ids.int_hash64_many — the md5 hash64 loop was the stage's
+    only per-row Python walk, 79x slower at 600k keys/batch; HLL only
+    needs within-run hash consistency + avalanche, and the estimate
+    stays pytest-gated against the exact count: measured relerr
+    2.5%/0.3%/1.3% at sf0.001/0.01/0.1 vs the 5% gate). Mergeability
+    (split-invariance) is pytest-gated too."""
+    from ..functions.ids import int_hash64_many
+    from ..functions.sketch import HyperLogLog
 
     ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
 
     def partial(batch: pa.Table) -> pa.Table:
         h = HyperLogLog(12)
-        h.add_hashes(hash64(batch.column("l_orderkey").to_pylist()))
+        h.add_hashes(int_hash64_many(
+            batch.column("l_orderkey").to_numpy(zero_copy_only=False)))
         return pa.table({"regs": pa.array([h.regs.tobytes()], pa.binary())})
 
     parts = ray.get(
@@ -2892,16 +2899,18 @@ def q_events_hourly_users_hll(sf_dir: str):
     users at realistic per-window cardinalities (pytest gates absolute
     error vs the exact per-hour distinct at max(2, 10% of n) per window
     — ~3 sigma of HLL's 1.04/sqrt(2^10)=3.3% standard error, so 720
-    windows stay inside it; measured max abs 0/2/10 users at
-    sf0.001/0.01/0.1).
+    windows stay inside it; measured max abs 0/1/9 users at
+    sf0.001/0.01/0.1 with zero gate violations).
 
     Shape: one vectorized grouped-register pass per batch
     (functions/sketch.py grouped_hll_registers — no per-group Python
-    loop), one hour-keyed groupby whose custom AggregateFn merges
+    loop) fed by the splitmix64 numeric-key hash (ids.int_hash64_many;
+    like hll_distinct_orders, the md5 loop was the only per-row Python
+    walk here), one hour-keyed groupby whose custom AggregateFn merges
     register rows with elementwise max in accumulate_block, and a
     stateless estimate map."""
-    from ..functions.sketch import (HyperLogLog, grouped_hll_registers,
-                                    hash64)
+    from ..functions.ids import int_hash64_many
+    from ..functions.sketch import HyperLogLog, grouped_hll_registers
 
     P = 10
     src = _read(sf_dir, "events", columns=["ts", "user_id"])
@@ -2911,7 +2920,10 @@ def q_events_hourly_users_hll(sf_dir: str):
         hvals = hour.to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(hvals, return_inverse=True)
         regs = grouped_hll_registers(
-            inv, hash64(batch.column("user_id").to_pylist()), len(uniq), P)
+            inv,
+            int_hash64_many(
+                batch.column("user_id").to_numpy(zero_copy_only=False)),
+            len(uniq), P)
         return pa.table({
             "hour": pa.array(uniq).cast(hour.type
                                         if isinstance(hour, pa.Array)
