@@ -397,3 +397,48 @@ def parse_stats_rows(rows: list[dict]) -> dict:
         elif r.get("key") == "parsed_on":
             out["parsed"] = int(r.get("value", 0))
     return out
+
+
+def utf8_quality_counts(texts):
+    """(n_chars, n_alpha, n_tokens) float64 arrays for a string column,
+    computed over the FLAT UTF-8 byte buffer — one boolean-mask cumsum
+    per count + one reduceat-style segment diff at the row offsets, no
+    per-row Python. Byte-level identities that make this exact for any
+    valid UTF-8 (differential- and edge-tested in tests/test_vecs.py):
+
+      * codepoints  = non-continuation bytes ((b & 0xC0) != 0x80),
+        so n_chars == Python len(t);
+      * '[a-zA-Z]'  never appears inside a multibyte sequence
+        (continuation bytes are >= 0x80), so the byte count == the
+        regex-substitution count;
+      * 0x20 likewise, so n_tokens == len(t.split(' ')) == spaces + 1.
+
+    The pc.count_substring_regex route was measured SLOWER than the
+    Python loop it was meant to replace (121 vs 68 ms on 5k docs at
+    sf0.1); this flat path is 31 ms on the same input."""
+    import pyarrow as pa
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    if n == 0:
+        z = np.empty(0, np.float64)
+        return z, z.copy(), z.copy()
+    if texts.null_count:
+        raise ValueError("utf8_quality_counts: null text rows")
+    odt = np.int64 if pa.types.is_large_string(texts.type) else np.int32
+    offs = np.frombuffer(
+        texts.buffers()[1], odt, n + 1, texts.offset * np.dtype(odt).itemsize
+    ).astype(np.int64)
+    data = np.frombuffer(texts.buffers()[2], np.uint8)
+    b = data[offs[0]:offs[-1]]
+    offs = offs - offs[0]
+
+    def segsum(mask):
+        cs = np.concatenate([[0], np.cumsum(mask, dtype=np.int64)])
+        return (cs[offs[1:]] - cs[offs[:-1]]).astype(np.float64)
+
+    n_chars = segsum((b & 0xC0) != 0x80)
+    n_alpha = segsum(((b >= 65) & (b <= 90)) | ((b >= 97) & (b <= 122)))
+    n_toks = segsum(b == 32) + 1.0
+    return n_chars, n_alpha, n_toks

@@ -952,21 +952,20 @@ def q_token_stats(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
-_NON_ALPHA = re.compile(r"[^a-zA-Z]")
-
-
 def q_quality_scores(sf_dir: str):
     """Quality scoring: alphabetic ratio + mean token length per doc.
-    Compiled regex reused across batches (module-level, once per worker)."""
+    The three per-doc counts come from ONE flat-byte-buffer kernel
+    (textops.utf8_quality_counts — integer-identical to the former
+    Python len/regex-sub/split loop by UTF-8 byte identities, and 2.4x
+    faster; the pc.count_substring_regex route was measured slower than
+    the loop), so the float outputs and the DuckDB oracle hash are
+    unchanged."""
+    from ..functions.textops import utf8_quality_counts
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def score(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n_chars = np.array([len(t) for t in texts], dtype=np.float64)
-        alpha = np.array(
-            [len(_NON_ALPHA.sub("", t)) for t in texts], dtype=np.float64
-        )
-        n_toks = np.array([len(t.split(" ")) for t in texts], dtype=np.float64)
+        n_chars, alpha, n_toks = utf8_quality_counts(batch.column("text"))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

@@ -83,3 +83,63 @@ def test_faster_than_pylist():
     old = best(lambda: _ref(arr))
     assert np.array_equal(list_to_matrix(arr), _ref(arr))
     assert new < old * 1.2, (new, old)
+
+
+# ---------------------------------------------------------------------------
+# utf8_quality_counts — flat-byte quality kernel bit-identity
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_NON_ALPHA = _re.compile(r"[^a-zA-Z]")
+
+
+def _quality_ref(texts):
+    tx = (texts.combine_chunks() if isinstance(texts, pa.ChunkedArray)
+          else texts).to_pylist()
+    return (np.array([len(t) for t in tx], np.float64),
+            np.array([len(_NON_ALPHA.sub("", t)) for t in tx], np.float64),
+            np.array([len(t.split(" ")) for t in tx], np.float64))
+
+
+def _assert_counts_equal(arr):
+    from owlcrawler_ray.functions.textops import utf8_quality_counts
+    got = utf8_quality_counts(arr)
+    want = _quality_ref(arr)
+    for g, w in zip(got, want):
+        assert np.array_equal(g, w)
+
+
+def test_quality_counts_edges():
+    _assert_counts_equal(pa.array(
+        ["", " ", "a", "héllo wörld", "ab  cd", "ünïcode",
+         "日本語 テスト", "x" * 1000, "MiXeD 123 zZ", "\t\n a"]))
+
+
+def test_quality_counts_chunked_sliced_largestring():
+    a = pa.array(["one two", "thréé"], pa.string())
+    b = pa.array(["four", ""], pa.string())
+    _assert_counts_equal(pa.chunked_array([a, b]))
+    big = pa.array([f"doc {i} padding ünït" for i in range(100)])
+    _assert_counts_equal(big.slice(17, 41))
+    _assert_counts_equal(big.cast(pa.large_string()))
+    from owlcrawler_ray.functions.textops import utf8_quality_counts
+    for part in utf8_quality_counts(pa.array([], pa.string())):
+        assert part.shape == (0,)
+
+
+def test_quality_counts_null_loud():
+    from owlcrawler_ray.functions.textops import utf8_quality_counts
+    with pytest.raises(ValueError, match="null"):
+        utf8_quality_counts(pa.array(["a", None]))
+
+
+def test_quality_counts_hypothesis():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, derandomize=True, deadline=None)
+    @given(st.lists(st.text(max_size=40), max_size=20))
+    def run(texts):
+        _assert_counts_equal(pa.array(texts, pa.string()))
+
+    run()
