@@ -285,3 +285,76 @@ def test_ckpt_retention_bounds_disk_and_resume_survives(ray_session,
         assert len(got) == len(want), name
         for g, w in zip(got, want):
             assert g == w, name
+
+
+@pytest.mark.parametrize("kills", [(6, 13), (9, 15)])
+def test_double_kill_double_resume_is_identical(ray_session, tmp_path, kills):
+    """Two kills, two resumes: the delta-chain checkpoint protocol's
+    hardest path — the SECOND resume inherits a chain that was itself
+    extended by a resumed run (inherit_chain over inherited links, delta
+    writes and acks stacked across process generations). Final pages /
+    attempts / images must be row-identical to an uninterrupted crawl,
+    and the seen-set must hold no duplicates. Kill points are tick caps
+    at differing round boundaries; execution knobs change across resumes
+    (allowed — only the web/politeness fingerprint is pinned)."""
+    k1, k2 = kills
+    full_base = str(tmp_path / "full")
+    part_base = str(tmp_path / "part")
+    shutil.rmtree(full_base, ignore_errors=True)
+    shutil.rmtree(part_base, ignore_errors=True)
+
+    c_full, _ = run_crawl(_cfg(full_base))
+    full = _rows(c_full)
+    c_full.shutdown()
+
+    c1, s1 = run_crawl(_cfg(part_base, max_ticks=k1))
+    assert s1["fetched"] < len(full[0])
+    c1.shutdown()
+    c2, s2 = run_crawl(_cfg(part_base, max_ticks=k2, budget_per_round=7),
+                       resume=True)
+    assert s2["fetched"] < len(full[0])  # the second kill must also bite
+    c2.shutdown()
+    c3, s3 = run_crawl(_cfg(part_base, budget_per_round=17), resume=True)
+    resumed = _rows(c3)
+    c3.shutdown()
+
+    assert s3["fetched"] == len(full[0])
+    for got, want, name in zip(resumed, full, ("pages", "attempts", "images")):
+        assert len(got) == len(want), name
+        for g, w in zip(got, want):
+            assert g == w, f"{name} row mismatch: {g} != {w}"
+
+
+def test_double_resume_with_seen_spill(ray_session, tmp_path):
+    """Same double-kill chain in the 10^10-scale seen configuration
+    (seen_spill + tiny in-memory cap): each resume must rebuild shard
+    membership from BOTH the checkpoint chain and the inherited spill
+    runs without double-counting — a duplicate fetch or a suppressed
+    one both break row-identity with the uninterrupted run."""
+    import glob
+
+    full_base = str(tmp_path / "sfull")
+    part_base = str(tmp_path / "spart")
+    shutil.rmtree(full_base, ignore_errors=True)
+    shutil.rmtree(part_base, ignore_errors=True)
+    spill_kw = dict(seen_spill=True, seen_max_mem_urls=2)
+
+    c_full, _ = run_crawl(_cfg(full_base, **spill_kw))
+    full = _rows(c_full)
+    c_full.shutdown()
+
+    c1, s1 = run_crawl(_cfg(part_base, max_ticks=8, **spill_kw))
+    assert s1["fetched"] < len(full[0])
+    c1.shutdown()
+    assert glob.glob(f"{part_base}/ckpt/seen_spill/seen_run_*.parquet")
+    c2, s2 = run_crawl(_cfg(part_base, max_ticks=14, **spill_kw),
+                       resume=True)
+    assert s2["fetched"] < len(full[0])
+    c2.shutdown()
+    c3, s3 = run_crawl(_cfg(part_base, **spill_kw), resume=True)
+    resumed = _rows(c3)
+    c3.shutdown()
+
+    assert s3["fetched"] == len(full[0])
+    for got, want, name in zip(resumed, full, ("pages", "attempts", "images")):
+        assert got == want, f"{name} mismatch"
