@@ -397,10 +397,11 @@ def q_sites(sf_dir: str):
 # A5: exact dedup (content hash, first-writer-wins)
 # ---------------------------------------------------------------------------
 
-def _with_clones(ds, sf_dir):
+def _with_clones(ds, sf_dir, columns=("doc_id", "text")):
     """Deterministic duplicates: docs with doc_id<50 re-appear with
-    doc_id+100000 (same text) so dedup groups are non-trivial."""
-    clones = _read(sf_dir, "documents", columns=["doc_id", "text"]).filter(
+    doc_id+100000 (same text) so dedup groups are non-trivial. ``columns``
+    must match the projection ``ds`` was read with (doc_id required)."""
+    clones = _read(sf_dir, "documents", columns=list(columns)).filter(
         expr="doc_id < 50"
     ).map_batches(
         lambda t: t.set_column(
@@ -5020,6 +5021,225 @@ ORACLES["decontaminate"] = """
 """
 
 
+_TRAINING_SLIM_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("lang", pa.string()),
+     ("h", pa.string()), ("nt", pa.int64())]
+)
+
+_TM_PART_SCHEMA = pa.schema(
+    [("lang", pa.string()), ("nd_p", pa.int64()), ("nt_p", pa.int64())]
+)
+
+
+def q_training_mix(sf_dir: str):
+    """THE composed training-data pipeline — the graft ops chained the way
+    a pretraining data build actually runs them, as ONE streaming job:
+
+      clone-union corpus (the exact-dedup fixture)
+        -> benchmark holdout (doc_id % 20 == 0 is the "eval suite")
+        -> quality filter (integer-exact: alpha-chars*1000 >= chars*817
+           and 16 <= tokens <= 90 — the utf8_quality_counts kernel)
+        -> decontamination (drop a doc when >= 1/4 of its DISTINCT
+           3-word shingles appear in the benchmark shingle set;
+           any-overlap is degenerate on a small-vocabulary corpus —
+           measured: it keeps 0 of 5000 docs at sf0.1)
+        -> exact dedup (md5 content hash, keep min doc_id)
+        -> per-lang mix report (n_docs, n_tokens of the KEPT corpus).
+
+    Scale shape: the benchmark shingle set broadcasts once (ray.put);
+    stage one is a single map_batches over (doc_id, lang, text) emitting
+    a SLIM survivor projection (doc_id, lang, hash, n_tokens — text
+    never leaves the task), materialized once and reused by both
+    downstream passes (the anti_join_bloom single-scan pattern; the
+    materialized bytes are O(survivors x 4 slim columns)). Dup-group
+    resolution is a _bucket_merge over content hashes; only groups with
+    n > 1 reach the driver (bounded by duplicated content, not corpus
+    size) and broadcast back for one vectorized index_in drop pass. The
+    final per-lang rollup is per-batch partials through _bucket_merge.
+    The md5 loop is oracle-bound (DuckDB md5 parity), as in
+    q_exact_dedup. Mirrors fmpwizard/owlcrawler's store->filter->index
+    value chain (parser.go:31-74, storage.go) recomposed as a corpus
+    build."""
+    from ..functions.textops import utf8_quality_counts
+
+    src = _with_clones(
+        _read(sf_dir, "documents", columns=["doc_id", "lang", "text"]),
+        sf_dir, columns=["doc_id", "lang", "text"],
+    )
+
+    # ---- benchmark shingle set: distinct 3-grams of the holdout slice.
+    # Clones of benchmark docs are benchmark docs with identical text, so
+    # the raw (un-cloned) stream yields the identical distinct set —
+    # cheaper, and bit-equal to the oracle's clone-union bench CTE.
+    raw = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        keep = np.nonzero(ids % 20 == 0)[0]
+        if not len(keep):
+            return pa.table({"shingle": pa.array([], pa.string())})
+        texts = batch.column("text").take(pa.array(keep))
+        pos, grams, counts = _word_ngrams(texts, 3)
+        extra = [
+            " ".join((texts[i].as_py() or "").split(" ")[:3])
+            for i in np.nonzero(counts < 3)[0]
+        ]  # minhash-parity clipped shingle for <3-word docs
+        u = pc.unique(pa.concat_arrays(
+            [grams.combine_chunks() if isinstance(grams, pa.ChunkedArray)
+             else grams, pa.array(extra, pa.string())]))
+        return pa.table({"shingle": u})
+
+    bench: set = set()
+    for row in raw.map_batches(
+        bench_shingles, batch_format="pyarrow"
+    ).take_all():  # bounded by the benchmark's shingle vocabulary
+        bench.add(row["shingle"])
+    bench_ref = ray.put(pa.array(sorted(bench), pa.string()))
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        texts = batch.column("text").combine_chunks() if isinstance(
+            batch.column("text"), pa.ChunkedArray) else batch.column("text")
+        n_chars, n_alpha, n_toks = utf8_quality_counts(texts)
+        nc = n_chars.astype(np.int64)
+        na = n_alpha.astype(np.int64)
+        nt = n_toks.astype(np.int64)
+        qpass = ((ids % 20 != 0) & (na * 1000 >= nc * 817)
+                 & (nt >= 16) & (nt <= 90))
+        keep_idx = np.nonzero(qpass)[0]
+        if not len(keep_idx):
+            return _TRAINING_SLIM_SCHEMA.empty_table()
+        sub = texts.take(pa.array(keep_idx))
+        pos, grams, counts = _word_ngrams(sub, 3)
+        short = np.nonzero(counts < 3)[0]
+        if len(short):
+            pos = np.concatenate([pos, short])
+            grams = pa.concat_arrays(
+                [grams.combine_chunks() if isinstance(grams, pa.ChunkedArray)
+                 else grams,
+                 pa.array([" ".join((sub[i].as_py() or "").split(" ")[:3])
+                           for i in short], pa.string())])
+        # distinct (row, shingle) so both counts are over DISTINCT grams
+        u = pa.table({"p": pa.array(pos, pa.int64()), "g": grams}) \
+            .group_by(["p", "g"]).aggregate([])
+        up = u.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_sh = np.bincount(up, minlength=len(keep_idx))
+        hit = pc.is_in(u.column("g"), value_set=ray.get(bench_ref)) \
+            .to_numpy(zero_copy_only=False)
+        n_hit = np.bincount(up[hit], minlength=len(keep_idx))
+        clean = n_hit * 4 < n_sh  # contaminated iff >= 25% shared
+        fin = keep_idx[clean]
+        if not len(fin):
+            return _TRAINING_SLIM_SCHEMA.empty_table()
+        ft = texts.take(pa.array(fin))
+        hs = [hashlib.md5(t.encode()).hexdigest() for t in ft.to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[fin]),
+                "lang": batch.column("lang").take(pa.array(fin)),
+                "h": pa.array(hs, pa.string()),
+                "nt": pa.array(nt[fin]),
+            },
+            schema=_TRAINING_SLIM_SCHEMA,
+        )
+
+    slim = src.map_batches(
+        stage, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def dup_partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["h", "doc_id"]).group_by("h")
+            .aggregate([("doc_id", "min"), ([], "count_all")])
+            .rename_columns(["h", "keep_p", "n_p"])
+        )
+
+    dup_groups = _bucket_merge(
+        slim.map_batches(dup_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        keys=["h"], aggs=[("keep_p", "min"), ("n_p", "sum")],
+        out=["keep_id", "n"],
+    )
+    # only hashes with >1 survivor copy reach the driver (the dup groups),
+    # then broadcast back: h sorted for index_in, keep ids aligned
+    rows = _hot_rows(dup_groups, 2)
+    dup_ref = None
+    if rows:
+        rows.sort(key=lambda r: r["h"])
+        dup_ref = ray.put((
+            pa.array([r["h"] for r in rows], pa.string()),
+            np.array([r["keep_id"] for r in rows], dtype=np.int64),
+        ))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _TM_PART_SCHEMA.empty_table()
+        if dup_ref is not None:
+            dh, dk = ray.get(dup_ref)
+            si = pc.fill_null(pc.index_in(t.column("h"), value_set=dh), -1) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            drop = (si >= 0) & (ids != dk[np.maximum(si, 0)])
+            t = t.filter(pa.array(~drop))
+        return (
+            t.group_by("lang").aggregate([([], "count_all"), ("nt", "sum")])
+            .rename_columns(["lang", "nd_p", "nt_p"])
+        )
+
+    return _bucket_merge(
+        slim.map_batches(finalize, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        keys=["lang"], aggs=[("nd_p", "sum"), ("nt_p", "sum")],
+        out=["n_docs", "n_tokens"],
+    )
+
+
+QUERIES["training_mix"] = q_training_mix
+ORACLES["training_mix"] = """
+    WITH base AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, lang, text FROM documents WHERE doc_id < 50
+    ),
+    words AS (SELECT doc_id, str_split(text, ' ') AS ws FROM base),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(ws) - 2, 1)),
+                   i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+        FROM words
+    ),
+    d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    bench AS (SELECT DISTINCT shingle FROM d WHERE doc_id % 20 = 0),
+    hits AS (
+        SELECT d.doc_id, count(*) AS n_sh,
+               count(CASE WHEN b.shingle IS NOT NULL THEN 1 END) AS n_hit
+        FROM d LEFT JOIN bench b USING (shingle)
+        GROUP BY d.doc_id
+    ),
+    q AS (
+        SELECT doc_id, lang, md5(text) AS h,
+               len(str_split(text, ' ')) AS nt
+        FROM base
+        WHERE doc_id % 20 <> 0
+          AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1000
+              >= length(text) * 817
+          AND len(str_split(text, ' ')) BETWEEN 16 AND 90
+    ),
+    clean AS (
+        SELECT q.* FROM q JOIN hits USING (doc_id)
+        WHERE hits.n_hit * 4 < hits.n_sh
+    ),
+    kept AS (
+        SELECT * FROM clean c
+        WHERE doc_id = (SELECT min(doc_id) FROM clean c2 WHERE c2.h = c.h)
+    )
+    SELECT lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+    FROM kept GROUP BY lang
+"""
+
+
 def q_gopher_repetition(sf_dir: str):
     """Repetition quality filter (the Gopher-style "fraction of the doc
     that is its single most common 2-gram" rule): per doc, the count of
@@ -6260,8 +6480,11 @@ _SCOREBOARD_PREFIX = [
     "pricing_summary", "events_hourly", "sessionization",
     "top_events_per_user", "distinct_types", "quantiles_price",
     "frequent_words", "label_centroids",
-    # text analysis + quality filtering (training-data graft ops)
-    "token_stats", "quality_scores", "lang_id", "bpe_tokens",
+    # text analysis + quality filtering (training-data graft ops);
+    # training_mix is the COMPOSED quality->decontaminate->dedup->mix
+    # pipeline (token_stats, its subsumed projection, demoted past the
+    # window — still oracled + pytest-gated)
+    "training_mix", "quality_scores", "lang_id", "bpe_tokens",
     "decontaminate", "gopher_repetition", "dup_ngram_fraction",
     "source_overlap", "pii_scrub", "bigram_pmi", "bm25_search",
     "bigram_setops",

@@ -76,8 +76,12 @@ def test_registry_scoreboard_prefix():
     } <= window
     # at least one live-crawl surface
     assert "crawl_pages" in window
+    # the composed training-data pipeline (quality -> decontaminate ->
+    # dedup -> per-lang mix) is driver-recorded
+    assert "training_mix" in window
     # demoted queries keep their oracle (bit-exactness stays pytest-gated)
     demoted_oracled = [n for n in names[50:] if n in osql]
     assert "search" in demoted_oracled  # redundant relevance-model proof
+    assert "token_stats" in demoted_oracled  # subsumed by training_mix
     # and every prefix entry exists & oracled entries dominate the window
     assert sum(1 for n in names[:50] if n in osql) == 48
