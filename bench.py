@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "source_quota",
     "bm25_search",
     "bigram_pmi",
+    "training_mix",
 ]
 
 
