@@ -1666,8 +1666,11 @@ def q_doc_fingerprints(sf_dir: str):
 def q_lang_id(sf_dir: str):
     """Language-ID heuristic stage (stopword+CJK ratio). The synthetic
     corpus is word salad, so predictions are honest 'unknown's; the
-    pipeline shape (stateless scoring map_batches) is the deliverable."""
-    from ..functions.textops import predict_lang
+    pipeline shape (stateless scoring map_batches) is the deliverable.
+    Scoring is the vectorized predict_lang_batch kernel (Arrow RE2 +
+    numpy bincounts — differentially pinned to the scalar predict_lang
+    over every testdata corpus in tests/test_vecs.py)."""
+    from ..functions.textops import predict_lang_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
@@ -1676,10 +1679,7 @@ def q_lang_id(sf_dir: str):
             {
                 "doc_id": batch.column("doc_id"),
                 "lang": batch.column("lang"),
-                "pred_lang": pa.array(
-                    [predict_lang(t) for t in batch.column("text").to_pylist()],
-                    pa.string(),
-                ),
+                "pred_lang": predict_lang_batch(batch.column("text")),
             }
         )
 

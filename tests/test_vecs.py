@@ -143,3 +143,52 @@ def test_quality_counts_hypothesis():
         _assert_counts_equal(pa.array(texts, pa.string()))
 
     run()
+
+
+class TestPredictLangBatch:
+    """predict_lang_batch must equal the scalar predict_lang per row.
+    The batch kernel tokenizes with RE2 \\W+ (the DuckDB oracle's
+    regime) while the scalar uses Python re \\w — divergence is only
+    possible on non-ASCII word chars outside the CJK branch, which the
+    corpora (and the edge inventory below) establish does not bite."""
+
+    def _both(self, texts):
+        import pyarrow as pa
+        from owlcrawler_ray.functions.textops import (predict_lang,
+                                                      predict_lang_batch)
+        arr = texts if isinstance(texts, pa.Array) else pa.array(
+            texts, pa.string())
+        got = predict_lang_batch(arr).to_pylist()
+        want = [predict_lang(x) for x in arr.to_pylist()]
+        assert got == want
+
+    def test_testdata_corpora_identical(self):
+        import pyarrow.parquet as pq
+        for sf in ("0.001", "0.01"):
+            t = pq.read_table(
+                f"/root/testdata/sf{sf}/documents.parquet", columns=["text"])
+            self._both(t.column("text").combine_chunks())
+
+    def test_edge_inventory(self):
+        self._both([
+            "", " ", "\n\t  ", "...---...", "x" * 3000,
+            "the and of to a in is that for it",
+            "el la de que y en un",
+            "der die und das ist",
+            "le la les de et the and of",   # dict-order tie: fr wins
+            "the " * 600,                   # >500-word cap
+            "一二三四五六七八九十",           # CJK ratio branch
+            "一 two three four five six seven eight nine ten eleven",
+            "一" * 41 + "a" * 360,           # ratio just over 10% of 400
+        ])
+
+    def test_chunked_and_sliced(self):
+        import pyarrow as pa
+        base = pa.chunked_array([
+            pa.array(["the and of to a in", ""], pa.string()),
+            pa.array(["el la de que y en un", "plain salad words"],
+                     pa.string()),
+        ])
+        self._both(base)
+        flat = base.combine_chunks()
+        self._both(flat.slice(1, 2))
