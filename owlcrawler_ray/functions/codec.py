@@ -10,7 +10,8 @@ A real PIL-based codec can drop in behind the same encode/decode signature
 (see ``HAVE_PIL`` gate at the bottom).
 
 Wire format: b"OWLC" | fmt_code u8 | shift u8 | w u16le | h u16le |
-zlib(quantized RGB bytes, level 6). shift = dropped low bits per channel
+zlib(quantized RGB bytes, level 3 — noise-dominated payloads
+compress ~1.2:1 at any level; see encode()). shift = dropped low bits per channel
 (0 = lossless). Quantization: q = v >> s (floor — max q = 2^(8-s)-1, no
 clip needed), reconstruction v' = q * 2^s + 2^(s-1) (bin center). Floor +
 bin-center is nearest-level for every input, so the worst-case per-pixel
@@ -112,7 +113,12 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         + int(w).to_bytes(2, "little")
         + int(h).to_bytes(2, "little")
     )
-    return head + zlib.compress(q.tobytes(), 6)
+    # level 3: the synthetic pixel fields compress to ~1.2:1 at ANY
+    # level (noise-dominated), and level 6 pays 45% more CPU for 0.6%
+    # fewer bytes (measured, STATS.md r5 cont. 5). compress() is the
+    # single largest cost of the fused fetch task (25% of task time at
+    # level 6); any level decodes identically (zlib is lossless).
+    return head + zlib.compress(q.tobytes(), 3)
 
 
 def decode(buf: bytes) -> tuple[np.ndarray, str, int, int]:
