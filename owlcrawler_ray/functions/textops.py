@@ -278,20 +278,21 @@ def predict_lang(text: str) -> str:
 
 def predict_lang_batch(texts) -> "pa.Array":
     """Vectorized predict_lang over a whole string column — Arrow RE2
-    kernels + numpy bincounts, no per-row Python. Tokenization uses RE2
-    ``\\W+`` (like the DuckDB oracle's regexp_extract_all '\\w+'), where
-    the scalar reference uses Python ``re`` — the two \\w regimes differ
-    only on non-ASCII word characters OUTSIDE the CJK fast path (RE2
-    \\w is ASCII; Python \\w is unicode). On any text whose non-ASCII
-    content is CJK (caught by the ratio branch first) or absent, the
-    outputs are identical — asserted differentially against the scalar
-    over every testdata corpus in tests/test_vecs.py.
+    kernels + numpy bincounts, no per-row Python. Tokenization splits on
+    RE2 ``[^\\p{L}\\p{N}_]+`` — the unicode class matching Python re's
+    ``\\w`` regime (a bare RE2 ``\\W`` is ASCII-only and would carve
+    stopword fragments out of accented words: 'leçon' -> 'le'+'on'
+    scores as French; caught in review, pinned by the accented edge
+    inventory in tests/test_vecs.py). Differentially asserted against
+    the scalar per row over every testdata corpus, accented/combining/
+    fullwidth/Arabic/Cyrillic probes, and null rows.
 
     Decision order matches the scalar exactly: empty -> unknown; CJK
     codepoints > 10% of the first 400 chars -> zh; no words in the first
     2000 chars -> unknown; else the first (dict-order) language whose
     stopword hit-share over the first 500 words strictly exceeds the
-    running best, accepted at >= 0.05."""
+    running best, accepted at >= 0.05. Null rows -> unknown (defined via
+    fill_null, not NaN-cast accident)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -302,13 +303,16 @@ def predict_lang_batch(texts) -> "pa.Array":
         return pa.array([], pa.string())
     # CJK branch: literal char class (RE2 rejects \uXXXX escapes)
     t400 = pc.utf8_slice_codeunits(texts, 0, 400)
-    cjk = pc.count_substring_regex(t400, "[一-鿿]").to_numpy(
+    cjk = pc.fill_null(
+        pc.count_substring_regex(t400, "[一-鿿]"), 0
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    l400 = pc.fill_null(pc.utf8_length(t400), 0).to_numpy(
         zero_copy_only=False).astype(np.int64)
-    l400 = pc.utf8_length(t400).to_numpy(zero_copy_only=False).astype(np.int64)
     is_zh = cjk / np.maximum(l400, 1) > 0.1
-    # word branch: \w+ findall == \W+ split with empties dropped
+    # word branch: \w+ findall == split on the complement with empties
+    # dropped (null rows split to null -> zero words via the flatten)
     t2k = pc.utf8_slice_codeunits(texts, 0, 2000)
-    words = pc.split_pattern_regex(t2k, r"\W+")
+    words = pc.split_pattern_regex(t2k, r"[^\p{L}\p{N}_]+")
     flat = pc.list_flatten(words)
     parent = pc.list_parent_indices(words).to_numpy(
         zero_copy_only=False).astype(np.int64)

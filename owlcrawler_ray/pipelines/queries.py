@@ -4926,6 +4926,50 @@ def _word_ngrams(texts, n: int, words=None):
     return row_of[idx], grams.take(pa.array(idx)), counts
 
 
+def _clipped_shingles(texts) -> tuple[np.ndarray, pa.Array]:
+    """(row_pos, grams) of 3-word shingles for a text column, INCLUDING
+    the minhash-parity clipped shingle (the whole first-3-words join)
+    for rows with <3 words — the single definition of the shingle rule
+    shared by q_decontaminate and q_training_mix so the two oracled
+    queries can never drift apart (review finding, r5 cont. 5)."""
+    pos, grams, counts = _word_ngrams(texts, 3)
+    short = np.nonzero(counts < 3)[0]
+    if len(short):
+        pos = np.concatenate([pos, short])
+        grams = pa.concat_arrays(
+            [grams.combine_chunks() if isinstance(grams, pa.ChunkedArray)
+             else grams,
+             pa.array([" ".join((texts[i].as_py() or "").split(" ")[:3])
+                       for i in short], pa.string())])
+    return pos, grams
+
+
+def _bench_shingles_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch DISTINCT shingles of the benchmark holdout slice
+    (doc_id % 20 == 0) — the bench-build stage both decontamination
+    queries map over (what reaches the driver is bounded by the
+    benchmark's shingle vocabulary, not its row count)."""
+    ids = batch.column("doc_id").to_numpy()
+    keep = np.nonzero(ids % 20 == 0)[0]
+    if not len(keep):
+        return pa.table({"shingle": pa.array([], pa.string())})
+    texts = batch.column("text").take(pa.array(keep))
+    _, grams = _clipped_shingles(texts)
+    return pa.table({"shingle": pc.unique(grams)})
+
+
+def _bench_shingle_ref(src):
+    """Build + broadcast the benchmark shingle set from a (doc_id, text)
+    Dataset: distinct-per-batch partials, tiny driver union, one
+    ray.put."""
+    bench: set = set()
+    for row in src.map_batches(
+        _bench_shingles_batch, batch_format="pyarrow"
+    ).take_all():  # bounded by the benchmark's shingle vocabulary
+        bench.add(row["shingle"])
+    return ray.put(pa.array(sorted(bench), pa.string()))
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination — drop training documents that overlap
     the evaluation suite. The held-out "benchmark" here is the
@@ -4942,29 +4986,7 @@ def q_decontaminate(sf_dir: str):
     so what reaches the driver is bounded by the benchmark's vocabulary,
     not its row count."""
     src = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def bench_shingles(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy()
-        keep = np.nonzero(ids % 20 == 0)[0]
-        if not len(keep):
-            return pa.table({"shingle": pa.array([], pa.string())})
-        texts = batch.column("text").take(pa.array(keep))
-        pos, grams, counts = _word_ngrams(texts, 3)
-        extra = [
-            " ".join((texts[i].as_py() or "").split(" ")[:3])
-            for i in np.nonzero(counts < 3)[0]
-        ]  # minhash-parity clipped shingle for <3-word docs
-        u = pc.unique(pa.concat_arrays(
-            [grams.combine_chunks() if isinstance(grams, pa.ChunkedArray)
-             else grams, pa.array(extra, pa.string())]))
-        return pa.table({"shingle": u})
-
-    bench = set()
-    for row in src.map_batches(
-        bench_shingles, batch_format="pyarrow"
-    ).take_all():
-        bench.add(row["shingle"])
-    bench_ref = ray.put(pa.array(sorted(bench), pa.string()))
+    bench_ref = _bench_shingle_ref(src)
 
     def probe(batch: pa.Table) -> pa.Table:
         bset = ray.get(bench_ref)
@@ -4975,15 +4997,7 @@ def q_decontaminate(sf_dir: str):
                              "n_hits": pa.array([], pa.int64())})
         ids = ids[keep]
         texts = batch.column("text").take(pa.array(keep))
-        pos, grams, counts = _word_ngrams(texts, 3)
-        short = np.nonzero(counts < 3)[0]
-        if len(short):
-            pos = np.concatenate([pos, short])
-            grams = pa.concat_arrays(
-                [grams.combine_chunks() if isinstance(grams, pa.ChunkedArray)
-                 else grams,
-                 pa.array([" ".join((texts[i].as_py() or "").split(" ")[:3])
-                           for i in short], pa.string())])
+        pos, grams = _clipped_shingles(texts)
         # distinct (row, shingle) so n_hits counts unique shared shingles
         u = pa.table({"p": pa.array(pos, pa.int64()), "g": grams}) \
             .group_by(["p", "g"]).aggregate([])
@@ -5070,31 +5084,11 @@ def q_training_mix(sf_dir: str):
     # ---- benchmark shingle set: distinct 3-grams of the holdout slice.
     # Clones of benchmark docs are benchmark docs with identical text, so
     # the raw (un-cloned) stream yields the identical distinct set —
-    # cheaper, and bit-equal to the oracle's clone-union bench CTE.
-    raw = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def bench_shingles(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy()
-        keep = np.nonzero(ids % 20 == 0)[0]
-        if not len(keep):
-            return pa.table({"shingle": pa.array([], pa.string())})
-        texts = batch.column("text").take(pa.array(keep))
-        pos, grams, counts = _word_ngrams(texts, 3)
-        extra = [
-            " ".join((texts[i].as_py() or "").split(" ")[:3])
-            for i in np.nonzero(counts < 3)[0]
-        ]  # minhash-parity clipped shingle for <3-word docs
-        u = pc.unique(pa.concat_arrays(
-            [grams.combine_chunks() if isinstance(grams, pa.ChunkedArray)
-             else grams, pa.array(extra, pa.string())]))
-        return pa.table({"shingle": u})
-
-    bench: set = set()
-    for row in raw.map_batches(
-        bench_shingles, batch_format="pyarrow"
-    ).take_all():  # bounded by the benchmark's shingle vocabulary
-        bench.add(row["shingle"])
-    bench_ref = ray.put(pa.array(sorted(bench), pa.string()))
+    # cheaper, and bit-equal to the oracle's clone-union bench CTE. The
+    # shingle rule itself is the ONE shared _clipped_shingles /
+    # _bench_shingles_batch definition q_decontaminate uses.
+    bench_ref = _bench_shingle_ref(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
 
     def stage(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(
@@ -5111,15 +5105,11 @@ def q_training_mix(sf_dir: str):
         if not len(keep_idx):
             return _TRAINING_SLIM_SCHEMA.empty_table()
         sub = texts.take(pa.array(keep_idx))
-        pos, grams, counts = _word_ngrams(sub, 3)
-        short = np.nonzero(counts < 3)[0]
-        if len(short):
-            pos = np.concatenate([pos, short])
-            grams = pa.concat_arrays(
-                [grams.combine_chunks() if isinstance(grams, pa.ChunkedArray)
-                 else grams,
-                 pa.array([" ".join((sub[i].as_py() or "").split(" ")[:3])
-                           for i in short], pa.string())])
+        # the shared shingle rule (its <3-word clip branch is vacuous
+        # here — the quality filter already guarantees nt >= 16 — but
+        # sharing one definition with q_decontaminate beats a bespoke
+        # copy; the dead-branch check is one O(rows) comparison)
+        pos, grams = _clipped_shingles(sub)
         # distinct (row, shingle) so both counts are over DISTINCT grams
         u = pa.table({"p": pa.array(pos, pa.int64()), "g": grams}) \
             .group_by(["p", "g"]).aggregate([])
@@ -5162,7 +5152,9 @@ def q_training_mix(sf_dir: str):
         out=["keep_id", "n"],
     )
     # only hashes with >1 survivor copy reach the driver (the dup groups),
-    # then broadcast back: h sorted for index_in, keep ids aligned
+    # then broadcast back. The sort is for DETERMINISM of the broadcast
+    # payload only — index_in does not need a sorted value_set; dk is
+    # aligned to dh from the same rows list either way.
     rows = _hot_rows(dup_groups, 2)
     dup_ref = None
     if rows:

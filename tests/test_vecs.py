@@ -182,6 +182,28 @@ class TestPredictLangBatch:
             "一" * 41 + "a" * 360,           # ratio just over 10% of 400
         ])
 
+    def test_accented_words_do_not_fragment(self):
+        """Review finding (r5 cont. 5): a bare RE2 \\W+ split carved
+        'leçon' into 'le'+'on' and scored the fragments as French
+        stopwords. The unicode-class split must keep accented words
+        whole — identical to Python re's \\w regime."""
+        self._both([
+            "leçon leçon leçon leçon",      # le-fragments would score fr
+            "garçon leçon façade reçu",
+            "naïve café déjà-vu",
+            "Übung macht den Meister und der die das ist von",
+            "русский текст тут без маркеров",
+            "ça va? le la les de et est que pour",
+            "ｆｕｌｌｗｉｄｔｈ ok ①②③ Ⅻ ٱلْعَرَبِيَّة",
+        ])
+
+    def test_null_rows_are_defined_unknown(self):
+        import pyarrow as pa
+        from owlcrawler_ray.functions.textops import predict_lang_batch
+        arr = pa.array([None, "the and of to a in", None, ""], pa.string())
+        assert predict_lang_batch(arr).to_pylist() == [
+            "unknown", "en", "unknown", "unknown"]
+
     def test_chunked_and_sliced(self):
         import pyarrow as pa
         base = pa.chunked_array([
