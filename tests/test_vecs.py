@@ -147,10 +147,9 @@ def test_quality_counts_hypothesis():
 
 class TestPredictLangBatch:
     """predict_lang_batch must equal the scalar predict_lang per row.
-    The batch kernel tokenizes with RE2 \\W+ (the DuckDB oracle's
-    regime) while the scalar uses Python re \\w — divergence is only
-    possible on non-ASCII word chars outside the CJK branch, which the
-    corpora (and the edge inventory below) establish does not bite."""
+    The batch kernel splits on RE2 [^\\p{L}\\p{N}_]+ — the unicode class
+    matching Python re's \\w regime (a bare RE2 \\W is ASCII-only and
+    fragments accented words; see test_accented_words_do_not_fragment)."""
 
     def _both(self, texts):
         import pyarrow as pa
@@ -214,3 +213,55 @@ class TestPredictLangBatch:
         self._both(base)
         flat = base.combine_chunks()
         self._both(flat.slice(1, 2))
+
+
+class TestClippedShingles:
+    """_clipped_shingles is the ONE shingle definition both oracled
+    decontamination queries share — pin it to the obvious scalar rule:
+    rows with >=3 space-split words emit every consecutive 3-gram, rows
+    with fewer emit exactly one clipped shingle (the whole row joined)."""
+
+    @staticmethod
+    def _scalar(texts):
+        out = []
+        for i, t in enumerate(texts):
+            ws = (t or "").split(" ")
+            if len(ws) >= 3:
+                out += [(i, " ".join(ws[j:j + 3]))
+                        for j in range(len(ws) - 2)]
+            else:
+                out.append((i, " ".join(ws[:3])))
+        return out
+
+    def _both(self, texts):
+        import pyarrow as pa
+        from owlcrawler_ray.pipelines.queries import _clipped_shingles
+        arr = pa.array(texts, pa.string())
+        pos, grams = _clipped_shingles(arr)
+        got = list(zip((int(p) for p in pos), grams.to_pylist()))
+        # order within a row is document order for the >=3-word rows;
+        # clipped rows are appended after — compare as sorted multisets
+        assert sorted(got) == sorted(self._scalar(texts))
+
+    def test_mixed_inventory(self):
+        self._both([
+            "a b c d e", "one two", "solo", "", " ", "  ",
+            "w x y z", "a a a a a a", "tab\tstays one\ttoken b c",
+        ])
+
+    def test_hypothesis_sweep(self):
+        from hypothesis import given, settings, strategies as st
+        words = st.text(
+            alphabet=st.characters(blacklist_characters=" ",
+                                   blacklist_categories=("Cs",)),
+            min_size=0, max_size=5)
+        texts = st.lists(
+            st.lists(words, min_size=0, max_size=8).map(" ".join),
+            min_size=1, max_size=12)
+
+        @settings(max_examples=120, deadline=None, derandomize=True)
+        @given(texts)
+        def run(ts):
+            self._both(ts)
+
+        run()
