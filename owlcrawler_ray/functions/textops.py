@@ -285,7 +285,11 @@ def predict_lang_batch(texts) -> "pa.Array":
     scores as French; caught in review, pinned by the accented edge
     inventory in tests/test_vecs.py). Differentially asserted against
     the scalar per row over every testdata corpus, accented/combining/
-    fullwidth/Arabic/Cyrillic probes, and null rows.
+    fullwidth/Arabic/Cyrillic probes, and null rows. Known residual
+    skew: RE2's Unicode tables run ahead of CPython's (codepoints
+    assigned in Unicode 15+ are word chars here, unassigned to re) —
+    the divergence set shrinks as CPython catches up and cannot affect
+    any codepoint assigned in Unicode <= 14.
 
     Decision order matches the scalar exactly: empty -> unknown; CJK
     codepoints > 10% of the first 400 chars -> zh; no words in the first

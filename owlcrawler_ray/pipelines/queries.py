@@ -1028,14 +1028,10 @@ def _sig_batch(batch: pa.Table) -> pa.Table:
     texts = batch.column("text")
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    pos, grams, counts = _word_ngrams(texts, 3)
-    short = np.nonzero(counts < 3)[0]
-    if len(short):
-        pos = np.concatenate([pos, short])
-        grams = pa.concat_arrays(
-            [grams,
-             pa.array([" ".join((texts[i].as_py() or "").split(" ")[:3])
-                       for i in short], pa.string())])
+    # the ONE shared shingle+clip rule (defined below with the
+    # decontamination family; drift here would silently de-pair the
+    # minhash signatures from the oracle's shingle CTE)
+    pos, grams = _clipped_shingles(texts)
     dct = grams.dictionary_encode()
     idx = dct.indices.to_numpy()
     mat = np.empty((len(dct.dictionary), 8), dtype=np.uint32)
@@ -3558,17 +3554,9 @@ def q_ngram_jaccard_verify(sf_dir: str):
                  "shingles": pa.array([], pa.list_(pa.string()))}
             )
         texts = kept.column("text")
-        # shared Arrow n-gram kernel (no per-row split loop); <3-word
-        # docs get the minhash-parity clipped shingle
-        pos, grams, counts = _word_ngrams(texts, 3)
-        short = np.nonzero(counts < 3)[0]
-        if len(short):
-            pos = np.concatenate([pos, short])
-            grams = pa.concat_arrays(
-                [grams.combine_chunks() if isinstance(grams, pa.ChunkedArray)
-                 else grams,
-                 pa.array([" ".join((texts[i].as_py() or "").split(" ")[:3])
-                           for i in short], pa.string())])
+        # the shared shingle+clip rule (one definition, see
+        # _clipped_shingles)
+        pos, grams = _clipped_shingles(texts)
         # distinct + sorted (row, shingle), then slice into per-row
         # sorted-set lists via offsets from the distinct counts
         u = pa.table({"p": pa.array(pos, pa.int64()), "g": grams}) \
